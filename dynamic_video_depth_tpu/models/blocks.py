@@ -99,13 +99,15 @@ class ConvBlock(nn.Module):
             padding="VALID",
             use_bias=self.use_bias,
             kernel_init=self.kernel_init or kaiming_normal_torch(0.2),
+            name="conv",
         )(x)
         if self.norm == "batch":
-            x = nn.BatchNorm(use_running_average=True)(x)
+            x = nn.BatchNorm(use_running_average=True, name="norm")(x)
         elif self.norm == "inst":
-            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False)(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                             use_scale=False, name="norm")(x)
         elif self.norm == "ln":
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(name="norm")(x)
         elif self.norm != "none":
             raise ValueError(f"Unsupported norm: {self.norm}")
         return get_activation(self.activation)(x)
@@ -138,5 +140,5 @@ class DoubleConvBlock(nn.Module):
             pad_type=self.pad_type,
             use_bias=self.use_bias,
         )
-        x = ConvBlock(**kw)(x)
-        return ConvBlock(**kw)(x)
+        x = ConvBlock(**kw, name="model__0")(x)
+        return ConvBlock(**kw, name="model__1")(x)

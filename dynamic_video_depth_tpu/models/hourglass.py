@@ -1,0 +1,150 @@
+"""MannequinChallenge inception-hourglass depth net, TPU-native.
+
+(reference: third_party/hourglass.py:21-212). Channel-last Flax. All
+batch-norms run in inference mode: the reference calls ``net_depth.eval()``
+in both ``freeze()`` and ``defrost()`` (third_party/hourglass.py:200-208), so
+running stats are frozen constants for the whole per-video optimization. The
+inception BNs are affine-free (``affine=False``); the stem BN has
+scale/bias.
+
+Module names encode the torch checkpoint paths of
+``best_depth_Ours_Bilinear_inc_3_net_G.pth`` with ``.`` -> ``__`` so the
+generic porter in ``models.torch_port`` can load them.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import upsample2x_bilinear
+
+# Inception branch configs (reference: third_party/hourglass.py:60-158).
+_E = ((64,), (3, 32, 64), (5, 32, 64), (7, 32, 64))        # 256 out
+_F = ((64,), (3, 64, 64), (7, 64, 64), (11, 64, 64))       # 256 out
+_G = ((32,), (3, 32, 32), (5, 32, 32), (7, 32, 32))        # 128 out
+_BC2 = ((32,), (3, 64, 32), (7, 64, 32), (11, 64, 32))     # 128 out
+_A4 = ((32,), (3, 64, 32), (5, 64, 32), (7, 64, 32))       # 128 out
+_A16 = ((16,), (3, 32, 16), (7, 32, 16), (11, 32, 16))     # 64 out
+_A = ((16,), (3, 64, 16), (7, 64, 16), (11, 64, 16))       # 64 out
+
+# Per-level branch programs: ('pool',), ('up',), ('inc', cfg), ('stage', lvl).
+# branch order follows the reference's ModuleList append order.
+_STAGES = {
+    1: (
+        (("inc", _E), ("inc", _E)),
+        (("pool",), ("inc", _E), ("inc", _E), ("inc", _E), ("up",)),
+    ),
+    2: (
+        (("inc", _E), ("inc", _F)),
+        (("pool",), ("inc", _E), ("inc", _E), ("stage", 1), ("inc", _E), ("inc", _F), ("up",)),
+    ),
+    3: (
+        (("pool",), ("inc", _G), ("inc", _E), ("stage", 2), ("inc", _E), ("inc", _G), ("up",)),
+        (("inc", _G), ("inc", _BC2)),
+    ),
+    4: (
+        (("pool",), ("inc", _G), ("inc", _G), ("stage", 3), ("inc", _A4), ("inc", _A16), ("up",)),
+        (("inc", _A),),
+    ),
+}
+
+
+def _conv(features, kernel, padding=0, name=None):
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        padding=[(padding, padding), (padding, padding)],
+        name=name,
+    )
+
+
+def _bn_noaffine(name):
+    return nn.BatchNorm(
+        use_running_average=True, use_bias=False, use_scale=False,
+        epsilon=1e-5, name=name,
+    )
+
+
+class Inception(nn.Module):
+    """Inception module (reference: third_party/hourglass.py:21-57):
+    a 1x1 branch plus (1x1 -> kxk) branches, concatenated channel-last."""
+
+    config: Tuple[Tuple[int, ...], ...]
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        y = _conv(self.config[0][0], 1, name="convs__0__0")(x)
+        y = _bn_noaffine("convs__0__1")(y)
+        outs.append(nn.relu(y))
+        for i, (filt, out_a, out_b) in enumerate(self.config[1:], start=1):
+            pad = (filt - 1) // 2
+            y = _conv(out_a, 1, name=f"convs__{i}__0")(x)
+            y = nn.relu(_bn_noaffine(f"convs__{i}__1")(y))
+            y = _conv(out_b, filt, padding=pad, name=f"convs__{i}__3")(y)
+            y = _bn_noaffine(f"convs__{i}__4")(y)
+            outs.append(nn.relu(y))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class Stage(nn.Module):
+    """One hourglass level: sum of two branch programs
+    (reference: Channels1..Channels4, third_party/hourglass.py:60-158)."""
+
+    level: int
+
+    @nn.compact
+    def __call__(self, x):
+        branch_outs = []
+        for b, program in enumerate(_STAGES[self.level]):
+            y = x
+            for i, op in enumerate(program):
+                if op[0] == "pool":
+                    y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+                elif op[0] == "up":
+                    y = upsample2x_bilinear(y, align_corners=True)
+                elif op[0] == "inc":
+                    y = Inception(op[1], name=f"list__{b}__{i}")(y)
+                elif op[0] == "stage":
+                    y = Stage(op[1], name=f"list__{b}__{i}")(y)
+            branch_outs.append(y)
+        return branch_outs[0] + branch_outs[1]
+
+
+class HourglassModel(nn.Module):
+    """(reference: third_party/hourglass.py:161-188).
+
+    Input ``[B, H, W, 3]``; output depth ``[B, H, W]`` (= exp(logits) unless
+    ``noexp``). H, W must be divisible by 16 (four 2x poolings).
+    """
+
+    noexp: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = _conv(128, 7, padding=3, name="seq__0")(x)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="seq__1")(y)
+        y = nn.relu(y)
+        y = Stage(4, name="seq__3")(y)
+        pred = _conv(1, 3, padding=1, name="pred_layer")(y)
+        depth = pred if self.noexp else jnp.exp(pred)
+        return depth[..., 0]
+
+
+class HourglassModelEmbed(nn.Module):
+    """Wrapper matching the reference's HourglassModel_Embed
+    (third_party/hourglass.py:191-212). The per-frame embedding is vestigial
+    in the reference — ``forward`` ignores ``embed_index`` — and is kept only
+    as a constructor flag for CLI parity.
+    """
+
+    noexp: bool = False
+    use_embedding: bool = False
+    n_embedding: int = 100
+
+    @nn.compact
+    def __call__(self, x, embed_index=None):
+        return HourglassModel(noexp=self.noexp, name="net_depth")(x)

@@ -105,17 +105,22 @@ class ResNeXt101Backbone(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
-    """(reference: third_party/midas_blocks.py:102-135)"""
+    """(reference: third_party/midas_blocks.py:102-135)
+
+    Note the skip connection adds ``relu(x)``, not ``x``: the torch original
+    uses ``ReLU(inplace=True)``, so ``out = self.relu(x)`` mutates ``x``
+    before ``out + x`` executes. The pretrained weights bake in this
+    behavior, so we reproduce it."""
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
-        out = _conv(self.features, 3, padding=1, name="conv1")(out)
+        res = nn.relu(x)
+        out = _conv(self.features, 3, padding=1, name="conv1")(res)
         out = nn.relu(out)
         out = _conv(self.features, 3, padding=1, name="conv2")(out)
-        return out + x
+        return out + res
 
 
 class FeatureFusionBlock(nn.Module):

@@ -61,7 +61,12 @@ class SceneFlowFieldNet(nn.Module):
         act = get_activation(self.activation)
         init = kaiming_normal_torch(a=0.2)
         # n_layers + 2 Dense layers total, matching the reference conv stack.
-        feat = act(nn.Dense(self.net_width, kernel_init=init)(feat))
-        for _ in range(self.n_layers):
-            feat = act(nn.Dense(self.net_width, kernel_init=init)(feat))
-        return nn.Dense(self.output_dim, kernel_init=init)(feat)
+        # Names mirror the torch keys 'convs.<i>.conv.weight' for the porter.
+        feat = act(nn.Dense(self.net_width, kernel_init=init, name="convs__0__conv")(feat))
+        for i in range(self.n_layers):
+            feat = act(
+                nn.Dense(self.net_width, kernel_init=init, name=f"convs__{i + 1}__conv")(feat)
+            )
+        return nn.Dense(
+            self.output_dim, kernel_init=init, name=f"convs__{self.n_layers + 1}__conv"
+        )(feat)

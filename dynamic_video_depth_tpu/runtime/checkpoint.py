@@ -1,0 +1,74 @@
+"""Checkpointing: train state + config snapshot.
+
+Mirrors the reference's artifacts (reference: models/netinterface.py:528-562,
+train.py:150-186): ``checkpoint`` every epoch, ``nets/%04d`` periodic,
+``best`` on vali improvement, plus a config snapshot (``opt.json``) that
+``test.py`` rehydrates (reference: test.py:81-84).
+
+Format: flax msgpack serialization of the full TrainState pytree plus a json
+sidecar with {epoch, best, metadata}. Single-file, atomic-rename writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_state(path: str, state: Any, epoch: int = 0, best: float = float("inf"),
+               extra: Optional[Dict] = None):
+    """Serialize ``state`` to ``path`` (.ckpt msgpack + .json sidecar)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    state = jax.device_get(state)
+    data = serialization.to_bytes(state)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    meta = {"epoch": int(epoch), "best": float(best), **(extra or {})}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_state(path: str, template: Any) -> Tuple[Any, Dict]:
+    """Deserialize into the structure of ``template``; returns (state, meta)."""
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    meta = {}
+    if os.path.isfile(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def save_opt(logdir: str, opt) -> None:
+    """Config snapshot (reference saves opt.pt + opt.txt, train.py:93-96)."""
+    os.makedirs(logdir, exist_ok=True)
+    d = {k: v for k, v in vars(opt).items() if not k.startswith("_")}
+    with open(os.path.join(logdir, "opt.json"), "w") as f:
+        json.dump(d, f, indent=1, default=str)
+    with open(os.path.join(logdir, "opt.txt"), "w") as f:
+        for k in sorted(d):
+            f.write(f"{k}: {d[k]}\n")
+
+
+def load_opt(logdir: str) -> Dict:
+    with open(os.path.join(logdir, "opt.json")) as f:
+        return json.load(f)
+
+
+def resolve_resume(logdir: str, resume: int) -> Optional[str]:
+    """Map the reference's resume convention (train.py:243-274) to a path:
+    0 = fresh, -1 = last checkpoint, -2 = previous best, N = epoch N."""
+    if resume == 0:
+        return None
+    if resume == -1:
+        return os.path.join(logdir, "checkpoint.ckpt")
+    if resume == -2:
+        return os.path.join(logdir, "best.ckpt")
+    return os.path.join(logdir, "nets", "%04d.ckpt" % resume)

@@ -1,0 +1,149 @@
+"""Layered CLI config (reference: options/options_train.py, options_test.py).
+
+Same knob names and two-phase parse: general args first, then the chosen
+model's and dataset's ``add_arguments`` are injected and the full command
+line re-parsed. ``unique_params`` are preserved across resume-overwrite
+(reference: options/options_train.py:150-162).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+
+def add_general_arguments(parser: argparse.ArgumentParser):
+    unique_params = {
+        "gpu", "resume", "epoch", "workers", "batch_size", "save_net",
+        "epoch_batches", "logdir", "full_logdir", "vis_batches_vali",
+        "vali_batches", "vali_at_start", "vis_every_vali",
+    }
+    a = parser.add_argument
+    a("--gpu", default="none", type=str,
+      help="device selection (kept for CLI parity; JAX picks the TPU)")
+    a("--manual_seed", type=int, default=None, help="manual seed")
+    a("--resume", type=int, default=0,
+      help="0 scratch; -1 last; -2 best; N epoch N")
+    a("--suffix", default="", type=str,
+      help="logdir suffix formatted with opt vars, e.g. '{track_id}_lr{lr}'")
+    a("--epoch", type=int, default=0, help="number of epochs to train")
+    a("--force_overwrite", action="store_true")
+    # Dataset IO
+    a("--dataset", type=str, default=None)
+    a("--data_root", type=str, default=None,
+      help="override the dataset's default datafiles root")
+    a("--workers", type=int, default=4)
+    a("--batch_size", type=int, default=16)
+    a("--no_batching", action="store_true")
+    a("--epoch_batches", default=None, type=int)
+    a("--vali_batches", default=None, type=int)
+    a("--vali_at_start", action="store_true")
+    a("--log_time", action="store_true")
+    a("--print_net", action="store_true")
+    # Multi-device (TPU analog of the reference's DDP flags)
+    a("--multiprocess_distributed", action="store_true",
+      help="parity flag; on TPU use --n_chips / mesh sharding instead")
+    a("--n_chips", type=int, default=1,
+      help="number of TPU chips to shard independent videos over")
+    a("--world_size", type=int, default=1)
+    a("--node_rank", type=int, default=0)
+    a("--dist_backend", type=str, default="ici",
+      choices=["ici", "dcn", "nccl", "gloo", "mpi"],
+      help="collectives ride the TPU interconnect; torch names accepted")
+    a("--init_url", type=str, default="")
+    # Network/optim
+    a("--net", type=str, required=True)
+    a("--optim", type=str, default="adam")
+    a("--lr", type=float, default=1e-4)
+    a("--adam_beta1", type=float, default=0.5)
+    a("--adam_beta2", type=float, default=0.9)
+    a("--sgd_momentum", type=float, default=0.9)
+    a("--sgd_dampening", type=float, default=0)
+    a("--wdecay", type=float, default=0.0)
+    a("--init_type", type=str, default="normal")
+    # Mixed precision: on TPU this selects the conv compute dtype
+    a("--mixed_precision_training", action="store_true",
+      help="run depth-net convs in bfloat16 (f32 params/updates)")
+    a("--loss_scaling", type=float, default=255,
+      help="parity flag; bf16 on TPU needs no loss scaling")
+    a("--full_precision", action="store_true",
+      help="force float32 conv compute")
+    # Logging and visualization
+    a("--logdir", type=str, default=None)
+    a("--full_logdir", type=str, default=None)
+    a("--exprdir_no_prefix", action="store_true")
+    a("--pt_no_overwrite", action="store_true")
+    a("--log_batch", action="store_true")
+    a("--progbar_interval", type=float, default=0.05)
+    a("--no_accum", action="store_true")
+    a("--expr_id", type=int, default=0)
+    a("--save_net", type=int, default=1)
+    a("--save_net_opt", action="store_true")
+    a("--vis_every_vali", default=1, type=int)
+    a("--vis_every_train", default=1, type=int)
+    a("--vis_batches_vali", type=int, default=10)
+    a("--vis_batches_train", type=int, default=10)
+    a("--tensorboard", action="store_true")
+    a("--tensorboard_keyword", type=str, default="checkpoints")
+    a("--html_logger", action="store_true")
+    a("--vis_workers", default=2, type=int)
+    a("--vis_param_f", default=None, type=str)
+    a("--vis_at_start", action="store_true")
+    a("--test_template", type=str, default=None)
+    return parser, unique_params
+
+
+def overwrite(opt, opt_old: dict, unique_params):
+    """Resume-overwrite: adopt the saved run's options except unique_params
+    (reference: options/options_train.py:150-162)."""
+    for k, v in opt_old.items():
+        if k in unique_params or k.startswith("_"):
+            continue
+        setattr(opt, k, v)
+    return opt
+
+
+def parse(argv: Optional[Sequence[str]] = None):
+    """Two-phase parse (reference: options/options_train.py:165-189)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser()
+    parser, unique_params = add_general_arguments(parser)
+    opt_general, _ = parser.parse_known_args(argv)
+
+    from ..data import get_dataset
+    from ..models import get_model
+
+    if opt_general.dataset is not None:
+        dataset_cls = get_dataset(opt_general.dataset)
+        parser, u = dataset_cls.add_arguments(parser)
+        unique_params |= u
+    model_cls = get_model(opt_general.net)
+    parser, u = model_cls.add_arguments(parser)
+    unique_params |= u
+
+    opt, unknown = parser.parse_known_args(argv)
+    if unknown:
+        print(f"Warning: ignoring unknown options {unknown}")
+    return opt, unique_params
+
+
+def parse_test(argv: Optional[Sequence[str]] = None):
+    """(reference: options/options_test.py:59-77)"""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser()
+    a = parser.add_argument
+    a("--checkpoint_path", type=str, required=True)
+    a("--output_dir", type=str, required=True)
+    a("--gpu", default="none", type=str)
+    a("--epoch", type=int, default=-1,
+      help="epoch checkpoint to load; -1 for best")
+    a("--manual_seed", type=int, default=None)
+    a("--workers", type=int, default=4)
+    a("--batch_size", type=int, default=1)
+    a("--vis_workers", default=2, type=int)
+    a("--data_root", type=str, default=None)
+    opt, unknown = parser.parse_known_args(argv)
+    if unknown:
+        print(f"Warning: ignoring unknown options {unknown}")
+    return opt

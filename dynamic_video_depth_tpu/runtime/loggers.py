@@ -1,0 +1,391 @@
+"""Keras-style callback loggers (reference: loggers/loggers.py).
+
+The protocol and file formats match the reference so downstream tooling
+(CSV consumers, the HTML dashboards) keeps working:
+
+- epoch CSV ``epoch_loss.csv`` with size-weighted epoch means,
+- batch CSV ``batch_loss.csv`` (opt-in via --log_batch),
+- best/periodic checkpoint writing hooks,
+- NaN termination guard,
+- optional TensorBoard scalars (train/vali suffixes),
+- a ComposeLogger fanning out to all of the above.
+
+One deliberate difference: batch logs may contain device arrays; they are
+converted lazily (at epoch aggregation) so the hot loop never forces a
+device sync.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import time
+from os.path import join
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _scalar(v):
+    """Convert a (possibly device) value to a python float lazily."""
+    try:
+        return float(v)
+    except TypeError:
+        return float(np.asarray(v))
+
+
+class BaseLogger:
+    """(reference: loggers/loggers.py:25-85)"""
+
+    def __init__(self):
+        self.params = {}
+        self.model = None
+
+    def set_params(self, params):
+        self.params = params
+
+    def set_model(self, model):
+        self.model = model
+
+    def on_train_begin(self):
+        pass
+
+    def on_train_end(self):
+        pass
+
+    def on_epoch_begin(self, epoch):
+        pass
+
+    def on_epoch_end(self, epoch, logs: Optional[Dict] = None):
+        pass
+
+    def on_batch_begin(self, batch):
+        pass
+
+    def on_batch_end(self, batch, logs: Optional[Dict] = None):
+        pass
+
+    def train_begin(self):
+        self.on_train_begin()
+
+    def train_end(self):
+        self.on_train_end()
+
+
+class LogCumulator(BaseLogger):
+    """Size-weighted epoch means (reference: loggers/loggers.py:88-110)."""
+
+    def __init__(self):
+        super().__init__()
+        self.epoch_logs = {}
+        self._sizes = []
+        self._values: Dict[str, List[float]] = {}
+
+    def on_epoch_begin(self, epoch):
+        self._sizes = []
+        self._values = {}
+
+    def on_batch_end(self, batch, logs=None):
+        logs = logs or {}
+        size = int(logs.get("size", 1))
+        self._sizes.append(size)
+        for k, v in logs.items():
+            if k == "size":
+                continue
+            self._values.setdefault(k, []).append(v)
+
+    def get_epoch_logs(self):
+        sizes = np.asarray(self._sizes, np.float64)
+        total = sizes.sum() if len(sizes) else 1.0
+        out = {}
+        for k, vals in self._values.items():
+            vals_f = np.asarray([_scalar(v) for v in vals], np.float64)
+            n = min(len(vals_f), len(sizes))
+            out[k] = float((vals_f[:n] * sizes[:n]).sum() / total)
+        return out
+
+    def on_epoch_end(self, epoch, logs=None):
+        self.epoch_logs = self.get_epoch_logs()
+
+
+class ProgbarLogger(BaseLogger):
+    """Terminal progress bar with ETA (reference: loggers/Progbar.py:21-143)."""
+
+    def __init__(self, interval: float = 0.05, metrics: Optional[List[str]] = None):
+        super().__init__()
+        self.interval = interval
+        self.metrics = metrics
+        self._last = 0.0
+
+    def on_epoch_begin(self, epoch):
+        self.epoch = epoch
+        self.seen = 0
+        self.start = time.time()
+        self._sums: Dict[str, float] = {}
+        self._counts: Dict[str, int] = {}
+        print(f"Epoch {epoch}/{self.params.get('epochs', '?')}")
+
+    def on_batch_end(self, batch, logs=None):
+        logs = logs or {}
+        self.seen += 1
+        for k, v in logs.items():
+            if k == "size" or (self.metrics and k not in self.metrics):
+                continue
+            self._sums[k] = self._sums.get(k, 0.0) + _scalar(v)
+            self._counts[k] = self._counts.get(k, 0) + 1
+        now = time.time()
+        if now - self._last < self.interval:
+            return
+        self._last = now
+        self._render(final=False)
+
+    def _render(self, final: bool):
+        target = self.params.get("steps", None)
+        elapsed = time.time() - self.start
+        rate = self.seen / max(elapsed, 1e-9)
+        if target:
+            eta = (target - self.seen) / max(rate, 1e-9)
+            frac = self.seen / target
+            width = 30
+            filled = int(width * frac)
+            bar = "=" * filled + (">" if filled < width else "") + "." * (width - filled - 1)
+            head = f"\r{self.seen}/{target} [{bar}] ETA {eta:5.0f}s"
+        else:
+            head = f"\r{self.seen} [{elapsed:5.0f}s]"
+        stats = " - ".join(
+            f"{k}: {self._sums[k] / max(self._counts[k], 1):.4g}"
+            for k in sorted(self._sums)
+        )
+        end = "\n" if final else ""
+        print(head + " " + stats + " " * 8, end=end, flush=True)
+
+    def on_epoch_end(self, epoch, logs=None):
+        self._render(final=True)
+
+
+class CsvLogger(BaseLogger):
+    """Epoch-level CSV (reference: loggers/loggers.py:180-222)."""
+
+    def __init__(self, filepath: str, cumulator: LogCumulator):
+        super().__init__()
+        self.filepath = filepath
+        self.cumulator = cumulator
+        self._writer = None
+        self._file = None
+        self._keys = None
+
+    def on_train_begin(self):
+        os.makedirs(os.path.dirname(self.filepath), exist_ok=True)
+        exists = os.path.isfile(self.filepath)
+        self._file = open(self.filepath, "a", newline="")
+        self._writer = None
+        self._append = exists
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = dict(self.cumulator.epoch_logs)
+        logs["epoch"] = epoch
+        if self._writer is None:
+            self._keys = sorted(logs.keys())
+            self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
+                                          extrasaction="ignore")
+            if not self._append:
+                self._writer.writeheader()
+        self._writer.writerow(logs)
+        self._file.flush()
+
+    def on_train_end(self):
+        if self._file:
+            self._file.close()
+
+
+class BatchCsvLogger(BaseLogger):
+    """Per-batch CSV (reference: loggers/loggers.py:225-256)."""
+
+    def __init__(self, filepath: str):
+        super().__init__()
+        self.filepath = filepath
+        self._rows = []
+        self.epoch = 0
+
+    def on_epoch_begin(self, epoch):
+        self.epoch = epoch
+
+    def on_batch_end(self, batch, logs=None):
+        logs = logs or {}
+        self._rows.append((self.epoch, batch, dict(logs)))
+
+    def on_epoch_end(self, epoch, logs=None):
+        os.makedirs(os.path.dirname(self.filepath), exist_ok=True)
+        exists = os.path.isfile(self.filepath)
+        with open(self.filepath, "a", newline="") as f:
+            writer = None
+            for ep, batch, row in self._rows:
+                row = {k: _scalar(v) for k, v in row.items()}
+                row.update(epoch=ep, batch=batch)
+                if writer is None:
+                    writer = csv.DictWriter(f, fieldnames=sorted(row.keys()),
+                                            extrasaction="ignore")
+                    if not exists:
+                        writer.writeheader()
+                        exists = True
+                writer.writerow(row)
+        self._rows = []
+
+
+class TerminateOnNaN(BaseLogger):
+    """Abort on NaN metrics (reference: loggers/loggers.py:309-322)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stopped = False
+
+    def on_epoch_end(self, epoch, logs=None):
+        # epoch-granular check: avoids a device sync per batch, still stops
+        # a diverged run within one epoch.
+        logs = logs or {}
+        for k, v in logs.items():
+            val = _scalar(v)
+            if math.isnan(val) or math.isinf(val):
+                self.stopped = True
+                raise FloatingPointError(
+                    f"NaN/Inf metric {k}={val} at epoch {epoch}; terminating."
+                )
+
+
+class ModelSaveLogger(BaseLogger):
+    """Periodic + best checkpointing (reference: loggers/loggers.py:259-306).
+
+    ``save_fn(path)`` is provided by the trainer; this logger decides when.
+    """
+
+    def __init__(self, save_fn, filepath: str, period: int = 1,
+                 save_best_only: bool = False, cumulator: Optional[LogCumulator] = None):
+        super().__init__()
+        self.save_fn = save_fn
+        self.filepath = filepath
+        self.period = period
+        self.save_best_only = save_best_only
+        self.cumulator = cumulator
+        self.best = float("inf")
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs or (self.cumulator.epoch_logs if self.cumulator else {})
+        if self.save_best_only:
+            loss = _scalar(logs.get("loss", float("inf")))
+            if loss < self.best:
+                self.best = loss
+                self.save_fn(self.filepath, epoch=epoch, best=self.best)
+        elif epoch % self.period == 0:
+            path = self.filepath
+            if "%" in path:
+                path = path % epoch
+            self.save_fn(path, epoch=epoch, best=self.best)
+
+
+class TensorBoardLogger(BaseLogger):
+    """TensorBoard scalars under train/vali suffixes
+    (reference: loggers/loggers.py:325-373). No-op if tensorboard is absent."""
+
+    def __init__(self, logdir: str, cumulator: LogCumulator, suffix: str = "train"):
+        super().__init__()
+        self.logdir = logdir
+        self.cumulator = cumulator
+        self.suffix = suffix
+        self._writer = None
+
+    def on_train_begin(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(self.logdir)
+        except Exception:
+            self._writer = None
+
+    def on_epoch_end(self, epoch, logs=None):
+        if self._writer is None:
+            return
+        for k, v in self.cumulator.epoch_logs.items():
+            self._writer.add_scalar(f"{k}/{self.suffix}", _scalar(v), epoch)
+        self._writer.flush()
+
+    def on_train_end(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+class HtmlLogger(BaseLogger):
+    """Minimal HTML progress dashboard (reference: loggers/loggers.py:376-442):
+    a json progress file plus one html page per epoch listing metric tables."""
+
+    def __init__(self, logdir: str, cumulator: LogCumulator):
+        super().__init__()
+        self.logdir = logdir
+        self.cumulator = cumulator
+        self.history = []
+
+    def on_epoch_end(self, epoch, logs=None):
+        import json
+
+        os.makedirs(self.logdir, exist_ok=True)
+        entry = {"epoch": epoch, **{k: _scalar(v) for k, v in
+                                     self.cumulator.epoch_logs.items()}}
+        self.history.append(entry)
+        with open(join(self.logdir, "progress.json"), "w") as f:
+            json.dump(self.history, f, indent=1)
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{e.get(k, '')}</td>" for k in entry)
+            + "</tr>"
+            for e in self.history
+        )
+        header = "".join(f"<th>{k}</th>" for k in entry)
+        with open(join(self.logdir, "progress.html"), "w") as f:
+            f.write(
+                "<html><body><table border=1>"
+                f"<tr>{header}</tr>{rows}</table></body></html>"
+            )
+
+
+class ComposeLogger(BaseLogger):
+    """Fan-out (reference: loggers/loggers.py:445-515)."""
+
+    def __init__(self, loggers: List[BaseLogger]):
+        super().__init__()
+        self.loggers = list(loggers)
+
+    def add_logger(self, logger: BaseLogger):
+        self.loggers.append(logger)
+
+    def get_logger(self, cls):
+        for lg in self.loggers:
+            if isinstance(lg, cls):
+                return lg
+        return None
+
+    def set_params(self, params):
+        for lg in self.loggers:
+            lg.set_params(params)
+
+    def on_train_begin(self):
+        for lg in self.loggers:
+            lg.on_train_begin()
+
+    def on_train_end(self):
+        for lg in self.loggers:
+            lg.on_train_end()
+
+    def on_epoch_begin(self, epoch):
+        for lg in self.loggers:
+            lg.on_epoch_begin(epoch)
+
+    def on_epoch_end(self, epoch, logs=None):
+        for lg in self.loggers:
+            lg.on_epoch_end(epoch, logs)
+
+    def on_batch_begin(self, batch):
+        for lg in self.loggers:
+            lg.on_batch_begin(batch)
+
+    def on_batch_end(self, batch, logs=None):
+        for lg in self.loggers:
+            lg.on_batch_end(batch, logs)

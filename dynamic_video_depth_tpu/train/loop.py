@@ -1,0 +1,94 @@
+"""Epoch-driven training loop (reference: models/netinterface.py:193-360,
+train.py:297-348).
+
+The loop is a thin host-side shell around the jitted step: it shuffles file
+orders, streams batches through the background loader + device prefetcher,
+fires logger callbacks, and checkpoints. Device->host syncs happen only at
+epoch boundaries (log aggregation) — per-batch logs are device scalars that
+the cumulator converts lazily."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data.prefetch import BatchLoader, DevicePrefetcher
+from ..runtime.loggers import ComposeLogger, LogCumulator
+
+
+class Trainer:
+    """Drives per-video optimization epochs."""
+
+    def __init__(self, model, dataset_train, dataset_vali, logger: ComposeLogger,
+                 opt, visualize_fn=None):
+        self.model = model
+        self.dataset_train = dataset_train
+        self.dataset_vali = dataset_vali
+        self.logger = logger
+        self.opt = opt
+        self.cumulator = logger.get_logger(LogCumulator) or LogCumulator()
+        self.visualize_fn = visualize_fn
+        self.rng = np.random.RandomState(
+            opt.manual_seed if opt.manual_seed is not None else 0
+        )
+
+    def epoch_order(self, n: int, epoch_batches: Optional[int]):
+        order = self.rng.permutation(n)
+        if epoch_batches is not None:
+            reps = int(np.ceil(epoch_batches / max(n, 1)))
+            order = np.concatenate([self.rng.permutation(n) for _ in range(reps)])
+            order = order[:epoch_batches]
+        return order
+
+    def train(self, start_epoch: int = 1):
+        opt = self.opt
+        self.logger.set_params({
+            "epochs": opt.epoch,
+            "steps": opt.epoch_batches or len(self.dataset_train),
+        })
+        self.logger.on_train_begin()
+        if opt.vali_at_start:
+            self._vali(max(start_epoch - 1, 0))
+        try:
+            for epoch in range(start_epoch, opt.epoch + 1):
+                self._train_one(epoch)
+                vali_logs = self._vali(epoch)
+                self.logger.on_epoch_end(epoch, vali_logs)
+        finally:
+            self.logger.on_train_end()
+        return self
+
+    def _train_one(self, epoch: int):
+        opt = self.opt
+        warm = epoch <= getattr(opt, "warm_sf", 0)
+        self.logger.on_epoch_begin(epoch)
+        order = self.epoch_order(len(self.dataset_train), opt.epoch_batches)
+        loader = BatchLoader(self.dataset_train, order)
+        t_data = time.time()
+        for i, (idx, dev, host) in enumerate(DevicePrefetcher(iter(loader))):
+            data_time = time.time() - t_data
+            logs = self.model.train_on_batch(epoch, i, dev, warm=warm)
+            logs["data_time"] = data_time
+            self.logger.on_batch_end(i, logs)
+            if self.visualize_fn is not None:
+                self.visualize_fn("train", epoch, i, dev, host)
+            t_data = time.time()
+
+    def _vali(self, epoch: int):
+        opt = self.opt
+        if self.dataset_vali is None or len(self.dataset_vali) == 0:
+            return {}
+        n = len(self.dataset_vali)
+        if opt.vali_batches is not None:
+            n = min(n, opt.vali_batches)
+        losses, sizes = [], []
+        loader = BatchLoader(self.dataset_vali, range(n))
+        for idx, dev, host in DevicePrefetcher(iter(loader)):
+            logs = self.model.vali_on_batch(epoch, idx, dev)
+            losses.append(float(logs["loss"]))
+            sizes.append(int(logs.get("size", 1)))
+        total = max(sum(sizes), 1)
+        loss = float(np.sum(np.asarray(losses) * np.asarray(sizes)) / total)
+        return {"loss": loss, "size": total}

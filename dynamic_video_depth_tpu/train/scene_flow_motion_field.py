@@ -1,0 +1,180 @@
+"""The scene-flow motion-field trainer — the framework's flagship model
+(reference: models/scene_flow_motion_field.py).
+
+Registry alias: ``get_model('scene_flow_motion_field')``. Exposes the
+reference's CLI surface via ``add_arguments`` and wraps the functional
+``SceneFlowMotionFieldStep`` with pretrained-weight loading, warm-up
+scheduling and batch bookkeeping."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.torch_port import load_torch_state_dict, port_torch_variables
+from .losses import LossConfig
+from .step import SceneFlowMotionFieldStep, TrainStepConfig
+
+# Pretrained checkpoint locations (reference: configs/__init__.py:15-16);
+# overridable via environment for nonstandard layouts.
+MIDAS_PRETRAIN_PATH = os.environ.get(
+    "DVD_MIDAS_CKPT", "./pretrained_depth_ckpt/midas_cpkt.pt"
+)
+DEPTH_PRETRAIN_PATH = os.environ.get(
+    "DVD_HOURGLASS_CKPT",
+    "./pretrained_depth_ckpt/best_depth_Ours_Bilinear_inc_3_net_G.pth",
+)
+
+
+class Model:
+    @classmethod
+    def add_arguments(cls, parser):
+        """(reference: models/scene_flow_motion_field.py:33-67)"""
+        a = parser.add_argument
+        a("--l1_mul", type=float, default=1e-4, help="L1 multiplier")
+        a("--disp_mul", type=float, default=10, help="disparity multiplier")
+        a("--one_way", action="store_true", help="use only losses on 1 to 2")
+        a("--loss_type", type=str, default="l2", help="use l2 on sceneflow")
+        a("--scene_lr_mul", type=float, default=1,
+          help="lr multiplier for scene flow network")
+        a("--n_down", type=int, default=3, help="sf net size")
+        a("--weight_steps", action="store_true", help="weight steps by baselines")
+        a("--sf_min_mul", type=float, default=0, help="minimize sf")
+        a("--sf_quantile", type=float, default=0.5,
+          help="minimize sf for 50%% pixels")
+        a("--static", action="store_true",
+          help="optimize static regions with skip frames")
+        a("--static_mul", type=float, default=1)
+        a("--flow_mul", type=float, default=10)
+        a("--acc_mul", type=float, default=100)
+        a("--si_mul", type=float, default=0)
+        a("--cos_mul", type=float, default=0)
+        a("--motion_seg_hard", action="store_true")
+        a("--warm_mul", type=float, default=1)
+        a("--interp_steps", type=int, default=5)
+        a("--warm_static", action="store_true")
+        a("--use_disp", action="store_true")
+        a("--use_disp_ratio", action="store_true")
+        a("--time_dependent", action="store_true")
+        a("--use_cnn", action="store_true")
+        a("--use_embedding", action="store_true")
+        a("--use_motion_seg", action="store_true")
+        a("--warm_reg", action="store_true")
+        a("--warm_sf", type=int, default=0)
+        a("--n_freq_xyz", type=int, default=16)
+        a("--n_freq_t", type=int, default=16)
+        a("--sf_mag_div", type=float, default=100)
+        a("--midas", action="store_true")
+        a("--depth_net", type=str, default="",
+          help="override depth net ('tiny' for smoke tests)")
+        return parser, set()
+
+    metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
+               "acc_reg", "sf_loss"]
+
+    def __init__(self, opt, logger=None):
+        self.opt = opt
+        self.logger = logger
+        compute_dtype = "float32"
+        if getattr(opt, "mixed_precision_training", False):
+            compute_dtype = "bfloat16"
+        if getattr(opt, "full_precision", False):
+            compute_dtype = "float32"
+        self.cfg = TrainStepConfig(
+            lr=opt.lr,
+            scene_lr_mul=opt.scene_lr_mul,
+            adam_beta1=getattr(opt, "adam_beta1", 0.5),
+            adam_beta2=getattr(opt, "adam_beta2", 0.9),
+            midas=opt.midas,
+            depth_net=getattr(opt, "depth_net", ""),
+            use_cnn=opt.use_cnn,
+            use_embedding=opt.use_embedding,
+            time_dependent=opt.time_dependent,
+            n_freq_xyz=opt.n_freq_xyz,
+            n_freq_t=opt.n_freq_t,
+            n_down=opt.n_down,
+            loss=LossConfig(
+                flow_mul=opt.flow_mul,
+                disp_mul=opt.disp_mul,
+                acc_mul=opt.acc_mul,
+                sf_mag_div=opt.sf_mag_div,
+                use_disp=opt.use_disp,
+                use_disp_ratio=opt.use_disp_ratio,
+                midas=opt.midas,
+                weight_steps=opt.weight_steps,
+                warm_reg=opt.warm_reg,
+                interp_steps=opt.interp_steps,
+            ),
+            use_motion_seg=opt.use_motion_seg,
+            compute_dtype=compute_dtype,
+        )
+        self.step = SceneFlowMotionFieldStep(self.cfg)
+        self.state = None
+        self.last_pred = None
+
+    # ------------------------------------------------------------------ setup
+
+    def init_from_sample(self, sample_img: np.ndarray, seed: int = 0):
+        """Initialize parameters, then overwrite with pretrained torch weights
+        when the checkpoint artifacts are present (reference:
+        models/scene_flow_motion_field.py:94-121)."""
+        self.state = self.step.init_state(
+            jax.random.PRNGKey(seed), jnp.asarray(sample_img)
+        )
+        path = MIDAS_PRETRAIN_PATH if self.cfg.midas else DEPTH_PRETRAIN_PATH
+        used_pretrained = False
+        if self.cfg.depth_net == "":
+            if os.path.isfile(path):
+                self.load_pretrained_depth(path)
+                used_pretrained = True
+            else:
+                print(f"Warning: pretrained depth checkpoint {path} not found; "
+                      "using random init")
+        return used_pretrained
+
+    def load_pretrained_depth(self, path: str):
+        sd = load_torch_state_dict(path)
+        variables = {"params": self.state.params_depth}
+        if self.state.stats_depth:
+            variables["batch_stats"] = self.state.stats_depth
+        prefix = "" if self.cfg.midas else "net_depth."
+        ported = port_torch_variables(variables, sd, prefix=prefix)
+        self.state = self.state.replace(
+            params_depth=ported["params"],
+            stats_depth=ported.get("batch_stats", self.state.stats_depth),
+        )
+
+    # ------------------------------------------------------------------ steps
+
+    @staticmethod
+    def batch_steps(batch: Dict, unit: float = 1.0) -> int:
+        """Static Euler step count = frame gap (reference:
+        models/scene_flow_motion_field.py:247-249)."""
+        fid1 = np.asarray(batch["frame_id_1"]).reshape(-1)[0]
+        fid2 = np.asarray(batch["frame_id_2"]).reshape(-1)[0]
+        return max(int(round(abs(float(fid2 - fid1)) / unit)), 1)
+
+    def train_on_batch(self, epoch: int, batch_idx: int, batch: Dict,
+                       warm: Optional[bool] = None) -> Dict:
+        if warm is None:
+            warm = epoch <= getattr(self.opt, "warm_sf", 0)
+        steps = self.batch_steps(batch)
+        self.state, logs = self.step.train_step(
+            self.state, batch, steps=steps, warm=bool(warm)
+        )
+        logs["size"] = int(batch["img_1"].shape[0])
+        return logs
+
+    def vali_on_batch(self, epoch: int, batch_idx: int, batch: Dict) -> Dict:
+        pred, logs = self.step.vali_step(self.state, batch)
+        self.last_pred = pred
+        logs["size"] = int(batch["img"].shape[0])
+        return logs
+
+    def test_on_batch(self, batch_idx: int, batch: Dict) -> Dict:
+        pred, _ = self.step.vali_step(self.state, batch)
+        return {k: np.asarray(v) for k, v in pred.items()}

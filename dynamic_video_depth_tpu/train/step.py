@@ -1,0 +1,306 @@
+"""The fused per-video optimization step.
+
+Replaces the reference's imperative hot loop (reference:
+models/scene_flow_motion_field.py:152-227 ``_train_on_batch``) with one
+jit-compiled function: two depth-net forwards, depth-induced flow, K-step
+Euler integration of the scene-flow field, scene-flow reprojection, the full
+loss set *and* the acceleration regularizer in a single backward (the
+reference's two ``backward()`` calls accumulate into the same ``.grad``
+buffers before ``optimizer.step()`` — summing the losses is gradient-
+equivalent), plus both Adam updates. No host synchronization per step: logs
+stay on device and are fetched asynchronously by the caller.
+
+Static specialization: ``steps`` (the frame gap) and ``warm`` (warm-up
+phase) are compile-time constants — 5 gap buckets x 2 phases = at most 10
+compilations per video fleet, amortized over the 40k-step schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models import (
+    FCNUnet,
+    HourglassModelEmbed,
+    MidasNet,
+    SceneFlowFieldNet,
+)
+from ..ops import Camera, flow_by_depth, scene_flow_projection, unproject
+from .losses import LossConfig, consistency_losses, disparity_vali_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    """Net + optimization hyperparameters (reference flags:
+    options/options_train.py:84-90, models/scene_flow_motion_field.py:33-67).
+    """
+
+    # optimizer
+    lr: float = 1e-6
+    scene_lr_mul: float = 1.0
+    adam_beta1: float = 0.5
+    adam_beta2: float = 0.9
+    # nets
+    midas: bool = True
+    depth_net: str = ""  # '' -> midas flag decides; 'tiny' for tests
+    use_cnn: bool = False
+    use_embedding: bool = False
+    time_dependent: bool = True
+    n_freq_xyz: int = 16
+    n_freq_t: int = 16
+    n_down: int = 3
+    net_width: int = 256
+    n_layers: int = 4
+    midas_resize: Optional[Tuple[int, int]] = None
+    # losses
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    use_motion_seg: bool = False
+    # numerics: bf16 conv compute for the depth nets (params stay f32)
+    compute_dtype: str = "bfloat16"
+
+
+class TrainState(struct.PyTreeNode):
+    params_depth: Any
+    params_sf: Any
+    stats_depth: Any  # frozen BN running stats (never updated: nets run eval)
+    opt_depth: Any
+    opt_sf: Any
+    step: jnp.ndarray
+
+
+def _batch_cameras(batch: Dict[str, jnp.ndarray]) -> Tuple[Camera, Camera]:
+    cam_1 = Camera(batch["R_1"], batch["t_1"], batch["K"], batch["K_inv"])
+    cam_2 = Camera(batch["R_2"], batch["t_2"], batch["K"], batch["K_inv"])
+    return cam_1, cam_2
+
+
+class SceneFlowMotionFieldStep:
+    """Builds the nets and exposes jitted train/vali/test step functions.
+
+    This is the functional core; the stateful trainer shell lives in
+    ``runtime`` and ``train.loop``.
+    """
+
+    def __init__(self, cfg: TrainStepConfig):
+        self.cfg = cfg
+        if cfg.depth_net == "tiny":
+            from ..models.tiny import TinyDepthNet
+
+            self.net_depth = TinyDepthNet()
+        elif cfg.midas:
+            self.net_depth = MidasNet(
+                non_negative=True, normalize_input=True, resize=cfg.midas_resize
+            )
+        else:
+            self.net_depth = HourglassModelEmbed(
+                noexp=False, use_embedding=cfg.use_embedding
+            )
+        if cfg.use_cnn:
+            self.net_sf = FCNUnet(
+                n_down=cfg.n_down, feat=32, block_type="double_conv",
+                out_channel=3, norm="none", activation="lrelu",
+                pad_type="reflect",
+            )
+        else:
+            self.net_sf = SceneFlowFieldNet(
+                net_width=cfg.net_width, n_layers=cfg.n_layers,
+                time_dependent=cfg.time_dependent,
+                n_freq_xyz=cfg.n_freq_xyz, n_freq_t=cfg.n_freq_t,
+            )
+        betas = dict(b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+        self.tx_depth = optax.adam(cfg.lr, **betas)
+        self.tx_sf = optax.adam(cfg.lr * cfg.scene_lr_mul, **betas)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array, sample_img: jnp.ndarray) -> TrainState:
+        """Initialize parameters from a sample image ``[B, H, W, 3]``."""
+        r1, r2 = jax.random.split(rng)
+        v_depth = self.net_depth.init(r1, sample_img)
+        b, h, w, _ = sample_img.shape
+        pts = jnp.zeros((b, h, w, 3), jnp.float32)
+        ts = jnp.zeros((b, h, w, 1), jnp.float32)
+        v_sf = self._init_sf(r2, pts, ts)
+        return TrainState(
+            params_depth=v_depth["params"],
+            params_sf=v_sf["params"],
+            stats_depth=v_depth.get("batch_stats", {}),
+            opt_depth=self.tx_depth.init(v_depth["params"]),
+            opt_sf=self.tx_sf.init(v_sf["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _init_sf(self, rng, pts, ts):
+        if self.cfg.use_cnn:
+            x = jnp.concatenate([pts, ts], -1) if self.cfg.time_dependent else pts
+            return self.net_sf.init(rng, x)
+        return self.net_sf.init(rng, pts, ts if self.cfg.time_dependent else None)
+
+    # -------------------------------------------------------------- forwards
+
+    def _apply_depth(self, params_depth, stats_depth, img):
+        variables = {"params": params_depth}
+        if stats_depth:
+            variables["batch_stats"] = stats_depth
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        if dtype != jnp.float32:
+            # bf16 activations through the CNN; params are cast per-op by XLA.
+            img = img.astype(dtype)
+            variables = jax.tree.map(lambda p: p.astype(dtype), variables)
+        out = self.net_depth.apply(variables, img)
+        return out.astype(jnp.float32)
+
+    def _apply_sf(self, params_sf, pts, ts):
+        """One scene-flow field query, output already divided by sf_mag_div
+        (reference: forward_sf_net, models/scene_flow_motion_field.py:346-358)."""
+        if self.cfg.use_cnn:
+            x = (
+                jnp.concatenate([pts, ts], -1)
+                if self.cfg.time_dependent
+                else pts
+            )
+            sf = self.net_sf.apply({"params": params_sf}, x)
+        elif self.cfg.time_dependent:
+            sf = self.net_sf.apply({"params": params_sf}, pts, ts)
+        else:
+            sf = self.net_sf.apply({"params": params_sf}, pts)
+        return sf / self.cfg.loss.sf_mag_div
+
+    def _sf_multi_step(self, params_sf, pts, ts, time_step, steps: int):
+        """Euler integration across the frame gap (reference:
+        forward_sf_net_multi_step, models/scene_flow_motion_field.py:360-367).
+        ``steps`` is static; the unrolled chain is a sequence of MXU matmuls
+        XLA pipelines back-to-back."""
+        sf_acc = jnp.zeros_like(pts)
+        for _ in range(steps):
+            sf = self._apply_sf(params_sf, pts, ts)
+            sf_acc = sf_acc + sf
+            pts = pts + sf
+            ts = ts + time_step
+        return sf_acc
+
+    # ------------------------------------------------------------ train step
+
+    def _forward(self, params_depth, params_sf, stats_depth, batch, steps: int):
+        """(reference: _predict_on_batch, models/scene_flow_motion_field.py:
+        229-264)."""
+        cam_1, cam_2 = _batch_cameras(batch)
+        depth_1 = self._apply_depth(params_depth, stats_depth, batch["img_1"])
+        depth_2 = self._apply_depth(params_depth, stats_depth, batch["img_2"])
+
+        dflow = flow_by_depth(depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2)
+        global_p1 = dflow["global_p1"]
+
+        time_step = batch["time_step"]
+        sf_1_2 = self._sf_multi_step(
+            params_sf, global_p1, batch["time_stamp_1"], time_step, steps
+        )
+        if self.cfg.use_motion_seg:
+            sf_1_2 = sf_1_2 * batch["motion_seg_1"]
+
+        pred = scene_flow_projection(
+            depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2, sf_1_2
+        )
+        pred["sf_1_2"] = sf_1_2
+        pred["sf_by_dep_1_2"] = dflow["sf_by_depth"]
+        pred["global_p1"] = global_p1
+        return pred
+
+    def _acc_reg(self, params_sf, global_p1, ts, time_step):
+        """(reference: _opt_reg, models/scene_flow_motion_field.py:326-344)."""
+        sf0 = self._apply_sf(params_sf, global_p1, ts)
+        sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
+        return self.cfg.loss.acc_mul * jnp.mean(jnp.abs(sf1 - sf0))
+
+    def loss_and_logs(self, params_depth, params_sf, stats_depth, batch,
+                      steps: int, warm: bool):
+        cfg = self.cfg.loss
+        pred = self._forward(params_depth, params_sf, stats_depth, batch, steps)
+        main, logs = consistency_losses(
+            pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
+        )
+        total = main * steps if cfg.weight_steps else main
+
+        use_reg = (
+            cfg.interp_steps > 0 and (not warm or cfg.warm_reg) and cfg.acc_mul > 0
+        )
+        if use_reg:
+            reg = self._acc_reg(
+                params_sf, pred["global_p1"], batch["time_stamp_1"],
+                batch["time_step"],
+            )
+            total = total + reg
+            logs["acc_reg"] = reg
+        else:
+            logs["acc_reg"] = jnp.zeros(())
+        return total, logs
+
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"), donate_argnames=("state",))
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   steps: int, warm: bool) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One fused optimization step. ``steps``/``warm`` are static."""
+
+        def loss_fn(params_depth, params_sf):
+            if warm:
+                # Depth net frozen during warm-up (reference:
+                # models/scene_flow_motion_field.py:154-164). stop_gradient
+                # lets XLA prune the entire depth backward.
+                params_depth = jax.lax.stop_gradient(params_depth)
+            return self.loss_and_logs(
+                params_depth, params_sf, state.stats_depth, batch, steps, warm
+            )
+
+        (_, logs), (g_depth, g_sf) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params_depth, state.params_sf)
+
+        upd_sf, opt_sf = self.tx_sf.update(g_sf, state.opt_sf, state.params_sf)
+        params_sf = optax.apply_updates(state.params_sf, upd_sf)
+
+        if warm:
+            params_depth, opt_depth = state.params_depth, state.opt_depth
+        else:
+            upd_d, opt_depth = self.tx_depth.update(
+                g_depth, state.opt_depth, state.params_depth
+            )
+            params_depth = optax.apply_updates(state.params_depth, upd_d)
+
+        new_state = state.replace(
+            params_depth=params_depth,
+            params_sf=params_sf,
+            opt_depth=opt_depth,
+            opt_sf=opt_sf,
+            step=state.step + 1,
+        )
+        return new_state, logs
+
+    # ------------------------------------------------------- vali/test steps
+
+    @partial(jax.jit, static_argnames=("self",))
+    def predict(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
+        """Single-frame inference (reference: _predict_on_batch is_train=False,
+        models/scene_flow_motion_field.py:266-275)."""
+        depth = self._apply_depth(
+            state.params_depth, state.stats_depth, batch["img"]
+        )
+        cam_1 = Camera(batch["R_1"], batch["t_1"], batch["K"], batch["K_inv"])
+        global_p1 = unproject(depth, cam_1)
+        sf_1_2 = self._sf_multi_step(
+            state.params_sf, global_p1, batch["time_stamp_1"],
+            batch["time_step"], steps=1,
+        )
+        return {"depth": depth, "sf_1_2": sf_1_2}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def vali_step(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
+        """(reference: _vali_on_batch, models/video_base.py:76-103)."""
+        pred = self.predict(state, batch)
+        loss = disparity_vali_loss(pred["depth"], batch["depth_mvs"])
+        return pred, {"loss": loss}

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Training CLI (reference: train.py).
+
+Same UX as the reference driver: two-phase option parsing, templated logdir,
+resume -1/-2/N, per-epoch checkpoints + best-on-vali, optional chained test
+run via --test_template. TPU-native internals: one jitted step, background
+host loading, device prefetch.
+
+Example (canonical DAVIS recipe, reference experiments/davis/train_sequence.sh):
+  python train.py --net scene_flow_motion_field --dataset davis_sequence \
+      --track_id dog --log_time --epoch_batches 2000 --epoch 20 \
+      --lr 1e-6 --html_logger --vali_batches 150 --batch_size 1 \
+      --optim adam --vis_batches_vali 4 --vis_every_vali 1 \
+      --vis_every_train 1 --vis_batches_train 5 --n_vis_butterfly 512 \
+      --logdir ./checkpoints/davis --suffix track_{track_id} \
+      --force_overwrite --test_template experiments/davis/test_cmd.txt \
+      --scene_lr_mul 1000 --warm_sf 5 --acc_mul 1 --disp_mul 1 \
+      --flow_mul 1 --sf_mag_div 100 --time_dependent \
+      --gaps 1,2,4,6,8 --midas --use_disp
+"""
+
+import os
+import sys
+from os.path import join
+
+
+def main():
+    # Force f32 matmul precision globally: per-video optimization is
+    # gradient-starved (lr 1e-6) and bf16 default matmuls cost reprojection
+    # accuracy. Hot convs opt into bf16 via --mixed_precision_training.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from dynamic_video_depth_tpu.data import get_dataset
+    from dynamic_video_depth_tpu.models import get_model
+    from dynamic_video_depth_tpu.runtime import config as config_mod
+    from dynamic_video_depth_tpu.runtime.checkpoint import (
+        load_opt,
+        load_state,
+        resolve_resume,
+        save_opt,
+        save_state,
+    )
+    from dynamic_video_depth_tpu.runtime.loggers import (
+        BatchCsvLogger,
+        ComposeLogger,
+        CsvLogger,
+        HtmlLogger,
+        LogCumulator,
+        ModelSaveLogger,
+        ProgbarLogger,
+        TensorBoardLogger,
+        TerminateOnNaN,
+    )
+    from dynamic_video_depth_tpu.train.loop import Trainer
+
+    opt, unique_params = config_mod.parse()
+
+    # ---------------------------------------------------------------- logdir
+    if opt.full_logdir is None:
+        exprdir = f"{opt.net}_{opt.dataset}"
+        suffix = opt.suffix.format(**vars(opt)) if opt.suffix else ""
+        if suffix:
+            exprdir += "_" + suffix
+        base = opt.logdir or "./checkpoints"
+        opt.full_logdir = join(base, exprdir, str(opt.expr_id))
+    os.makedirs(opt.full_logdir, exist_ok=True)
+    os.makedirs(join(opt.full_logdir, "nets"), exist_ok=True)
+
+    resume_path = resolve_resume(opt.full_logdir, opt.resume)
+    if opt.resume != 0 and os.path.isfile(join(opt.full_logdir, "opt.json")):
+        opt = config_mod.overwrite(opt, load_opt(opt.full_logdir), unique_params)
+    save_opt(opt.full_logdir, opt)
+
+    # ---------------------------------------------------------------- logger
+    cumulator = LogCumulator()
+    loggers = [
+        cumulator,
+        ProgbarLogger(interval=opt.progbar_interval),
+        CsvLogger(join(opt.full_logdir, "epoch_loss.csv"), cumulator),
+        TerminateOnNaN(),
+    ]
+    if opt.log_batch:
+        loggers.append(BatchCsvLogger(join(opt.full_logdir, "batch_loss.csv")))
+    if opt.tensorboard:
+        loggers.append(
+            TensorBoardLogger(join(opt.full_logdir, "tensorboard"), cumulator)
+        )
+    if opt.html_logger:
+        loggers.append(HtmlLogger(join(opt.full_logdir, "html"), cumulator))
+    logger = ComposeLogger(loggers)
+
+    # ----------------------------------------------------------------- model
+    Model = get_model(opt.net)
+    model = Model(opt, logger)
+
+    Dataset = get_dataset(opt.dataset)
+    dataset_train = Dataset(opt, mode="train", model=model)
+    dataset_vali = Dataset(opt, mode="vali", model=model)
+    print(f"#train files: {len(dataset_train)}  #vali frames: {len(dataset_vali)}")
+
+    sample = dataset_train[0]
+    model.init_from_sample(sample["img_1"], seed=opt.manual_seed or 0)
+
+    start_epoch = 1
+    if resume_path and os.path.isfile(resume_path):
+        state, meta = load_state(resume_path, model.state)
+        model.state = state
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"Resumed from {resume_path} at epoch {start_epoch - 1}")
+
+    # ----------------------------------------------------------- checkpoints
+    def save_fn(path, epoch=0, best=float("inf")):
+        save_state(path, model.state, epoch=epoch, best=best)
+
+    logger.add_logger(
+        ModelSaveLogger(save_fn, join(opt.full_logdir, "checkpoint.ckpt"),
+                        period=1, cumulator=cumulator)
+    )
+    if opt.save_net > 0:
+        logger.add_logger(
+            ModelSaveLogger(save_fn, join(opt.full_logdir, "nets", "%04d.ckpt"),
+                            period=opt.save_net, cumulator=cumulator)
+        )
+    best_saver = ModelSaveLogger(
+        save_fn, join(opt.full_logdir, "best.ckpt"), save_best_only=True,
+        cumulator=cumulator,
+    )
+    logger.add_logger(best_saver)
+
+    # ------------------------------------------------------------------ train
+    trainer = Trainer(model, dataset_train, dataset_vali, logger, opt)
+    trainer.train(start_epoch=start_epoch)
+
+    # -------------------------------------------------- chained test template
+    if opt.test_template and os.path.isfile(opt.test_template):
+        with open(opt.test_template) as f:
+            cmd = f.read().strip()
+        cmd = cmd.format(net_file=join(opt.full_logdir, "best.ckpt"),
+                         **vars(opt))
+        print("Running test command:", cmd)
+        os.system(cmd)
+
+
+if __name__ == "__main__":
+    main()
