@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: fused train-step latency on the canonical DAVIS configuration.
+
+Measures the full per-video optimization step (2x MiDaS forward, depth-
+induced flow, gap-step scene-flow Euler integration, scene-flow projection,
+all losses + acceleration regularizer, one fused backward, both Adam
+updates) at the reference working resolution 224x384, batch 1, gap 2
+(reference protocol: experiments/davis/train_sequence.sh 20 epochs x 2000
+steps, SURVEY §6).
+
+Baseline: the reference publishes no wall-clock numbers (BASELINE.md). We
+use 360 ms/step as the reference GPU estimate — 40k steps at ~4 h/video on
+the contemporary V100 class hardware this pipeline shipped against.
+``vs_baseline`` is the speedup factor (>= 2 meets the <0.5x north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_STEP_MS = 360.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+    from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+    cfg = TrainStepConfig(
+        lr=1e-6, scene_lr_mul=1000.0, midas=True,
+        loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                        sf_mag_div=100.0, use_disp=True, midas=True,
+                        interp_steps=5),
+        compute_dtype="bfloat16",
+    )
+    step = SceneFlowMotionFieldStep(cfg)
+
+    rng = np.random.RandomState(0)
+    h, w = 224, 384  # reference working resolution (<=384 wide, mult of 32)
+    batch = _synthetic_batch(1, h, w, rng)
+    state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+
+    gap = 2
+    # compile + warm up
+    state, logs = step.train_step(state, batch, steps=gap, warm=False)
+    jax.block_until_ready(logs["loss"])
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, logs = step.train_step(state, batch, steps=gap, warm=False)
+    jax.block_until_ready(logs["loss"])
+    dt_ms = (time.perf_counter() - t0) / n_iters * 1e3
+
+    print(json.dumps({
+        "metric": "davis_train_step_224x384_gap2",
+        "value": round(dt_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_STEP_MS / dt_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

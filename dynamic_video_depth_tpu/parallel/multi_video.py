@@ -1,0 +1,149 @@
+"""Batched multi-video test-time optimization + same-video data parallelism.
+
+Two TPU-native replacements for the reference's (broken) DDP
+(reference: train.py:284-292, SURVEY §2.2):
+
+1. ``MultiVideoOptimizer`` — V independent per-video optimizations as ONE
+   jitted program via ``shard_map`` over a ``video`` mesh axis: each chip
+   holds one video's parameters, optimizer state and batch and runs the
+   plain single-video step locally; no cross-chip communication at all
+   (BASELINE config #5, "one video per chip"). shard_map (not vmap) because
+   per-video conv kernels must stay unbatched for the TPU conv lowering.
+
+2. ``DataParallelStep`` — one video's pair batch sharded over a ``data``
+   mesh axis with replicated parameters; XLA's sharding propagation inserts
+   the gradient all-reduce over ICI (the working analog of what the
+   reference's DDP intended).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.step import SceneFlowMotionFieldStep, TrainState
+
+
+def tree_stack(trees: Sequence):
+    """Stack a list of identical pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def tree_index(tree, i: int):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.6 stable API
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
+class MultiVideoOptimizer:
+    """Drives V per-video optimizations in lockstep, one video per chip."""
+
+    def __init__(self, step: SceneFlowMotionFieldStep, mesh: Mesh,
+                 video_axis: str = "video"):
+        self.step = step
+        self.mesh = mesh
+        self.video_axis = video_axis
+        self.n_videos = mesh.shape[video_axis]
+
+    def state_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.video_axis))
+
+    def init_states(self, rng: jax.Array, sample_imgs) -> TrainState:
+        """``sample_imgs [V, B, H, W, 3]`` -> stacked per-video states."""
+        v = sample_imgs.shape[0]
+        rngs = jax.random.split(rng, v)
+        states = [self.step.init_state(rngs[i], sample_imgs[i]) for i in range(v)]
+        return jax.device_put(tree_stack(states), self.state_sharding())
+
+    def broadcast_state(self, state: TrainState, n_videos: int) -> TrainState:
+        """Replicate one (e.g. pretrained-initialized) state to all videos."""
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_videos,) + x.shape), state
+        )
+        return jax.device_put(stacked, self.state_sharding())
+
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+             donate_argnames=("states",))
+    def train_step(self, states: TrainState, batches: Dict[str, jnp.ndarray],
+                   steps: int, warm: bool):
+        """One lockstep step for every video. Leaves are ``[V, ...]``; the
+        same static (gap, warm) bucket applies fleet-wide (callers group
+        files by gap, which the canonical per-gap ordering provides)."""
+
+        def per_chip(states_slice, batches_slice):
+            s = jax.tree.map(lambda x: x[0], states_slice)
+            b = jax.tree.map(lambda x: x[0], batches_slice)
+            ns, logs = self.step.train_step_impl(s, b, steps, warm)
+            expand = lambda x: jnp.asarray(x)[None]
+            return jax.tree.map(expand, ns), jax.tree.map(expand, logs)
+
+        spec = P(self.video_axis)
+        fn = _shard_map(per_chip, self.mesh, in_specs=(spec, spec),
+                        out_specs=(spec, spec))
+        return fn(states, batches)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def vali_step(self, states: TrainState, batches: Dict[str, jnp.ndarray]):
+        def per_chip(states_slice, batches_slice):
+            s = jax.tree.map(lambda x: x[0], states_slice)
+            b = jax.tree.map(lambda x: x[0], batches_slice)
+            pred, logs = self.step.vali_step_impl(s, b)
+            expand = lambda x: jnp.asarray(x)[None]
+            return jax.tree.map(expand, pred), jax.tree.map(expand, logs)
+
+        spec = P(self.video_axis)
+        fn = _shard_map(per_chip, self.mesh, in_specs=(spec, spec),
+                        out_specs=(spec, spec))
+        return fn(states, batches)
+
+    def gather_states(self, states: TrainState) -> List[TrainState]:
+        """Stacked device states -> list of host per-video states."""
+        host = jax.device_get(states)
+        v = np.asarray(host.step).shape[0]
+        return [tree_index(host, i) for i in range(v)]
+
+
+class DataParallelStep:
+    """Same-video data parallelism: pair batch sharded over ``data``,
+    parameters replicated, gradient all-reduce inserted by XLA."""
+
+    def __init__(self, step: SceneFlowMotionFieldStep, mesh: Mesh,
+                 data_axis: str = "data"):
+        self.step = step
+        self.mesh = mesh
+        self.data_axis = data_axis
+
+    def place(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rep = NamedSharding(self.mesh, P())
+        state = jax.device_put(state, rep)
+        sh = NamedSharding(self.mesh, P(self.data_axis))
+        batch = {
+            k: jax.device_put(
+                v, sh if getattr(v, "ndim", 0) >= 1 and v.shape and
+                v.shape[0] % self.mesh.shape[self.data_axis] == 0 else rep
+            )
+            for k, v in batch.items()
+        }
+        return state, batch
+
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+             donate_argnames=("state",))
+    def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                   steps: int, warm: bool):
+        return self.step.train_step_impl(state, batch, steps, warm)

@@ -246,6 +246,12 @@ class SceneFlowMotionFieldStep:
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
                    steps: int, warm: bool) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """One fused optimization step. ``steps``/``warm`` are static."""
+        return self.train_step_impl(state, batch, steps, warm)
+
+    def train_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                        steps: int, warm: bool):
+        """Un-jitted step body — reused by the multi-video vmap/shard path
+        (parallel/multi_video.py)."""
 
         def loss_fn(params_depth, params_sf):
             if warm:
@@ -287,6 +293,9 @@ class SceneFlowMotionFieldStep:
     def predict(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
         """Single-frame inference (reference: _predict_on_batch is_train=False,
         models/scene_flow_motion_field.py:266-275)."""
+        return self.predict_impl(state, batch)
+
+    def predict_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
         depth = self._apply_depth(
             state.params_depth, state.stats_depth, batch["img"]
         )
@@ -301,6 +310,9 @@ class SceneFlowMotionFieldStep:
     @partial(jax.jit, static_argnames=("self",))
     def vali_step(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
         """(reference: _vali_on_batch, models/video_base.py:76-103)."""
-        pred = self.predict(state, batch)
+        return self.vali_step_impl(state, batch)
+
+    def vali_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
+        pred = self.predict_impl(state, batch)
         loss = disparity_vali_loss(pred["depth"], batch["depth_mvs"])
         return pred, {"loss": loss}

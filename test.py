@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Inference / rendering CLI (reference: test.py + models/video_base.py:128-272).
+
+Rehydrates the training options from the checkpoint dir, runs the refined
+depth net over every frame of the track, dumps per-frame npz + PNGs, then
+renders comparison videos (refined vs initial vs GT inverse depth), temporal
+slice panels, and an HTML report. ffmpeg is used when present.
+"""
+
+import os
+import sys
+from argparse import Namespace
+from os.path import dirname, join
+from subprocess import call
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import numpy as np
+
+    from dynamic_video_depth_tpu.data import get_dataset
+    from dynamic_video_depth_tpu.models import get_model
+    from dynamic_video_depth_tpu.runtime import config as config_mod
+    from dynamic_video_depth_tpu.runtime.checkpoint import load_opt, load_state
+    from dynamic_video_depth_tpu.train.losses import disparity_vali_loss
+    from dynamic_video_depth_tpu.utils.html import Webpage
+    from dynamic_video_depth_tpu.utils.visualizer import HTMLVisualizer
+
+    opt_test = config_mod.parse_test()
+
+    ckpt_dir = opt_test.checkpoint_path
+    if ckpt_dir.endswith(".ckpt"):
+        ckpt_file, ckpt_dir = ckpt_dir, dirname(ckpt_dir)
+    else:
+        name = "best.ckpt" if opt_test.epoch < 0 else join("nets", "%04d.ckpt" % opt_test.epoch)
+        ckpt_file = join(ckpt_dir, name)
+
+    opt_train = Namespace(**load_opt(ckpt_dir))
+    if opt_test.data_root:
+        opt_train.data_root = opt_test.data_root
+
+    Model = get_model(opt_train.net)
+    model = Model(opt_train, None)
+    Dataset = get_dataset(opt_train.dataset)
+    dataset = Dataset(opt_train, mode="vali", model=model)
+    assert len(dataset) > 0, "no validation frames found"
+
+    sample = dataset[0]
+    model.init_from_sample(sample["img"], seed=0)
+    state, meta = load_state(ckpt_file, model.state)
+    model.state = state
+    print(f"Loaded {ckpt_file} (epoch {meta.get('epoch', '?')})")
+
+    epoch_string = "best" if opt_test.epoch < 0 else "%04d" % opt_test.epoch
+    outdir = join(opt_test.output_dir, f"epoch{epoch_string}_test")
+    os.makedirs(outdir, exist_ok=True)
+    visualizer = HTMLVisualizer(n_workers=opt_test.vis_workers)
+
+    # ------------------------------------------------------------- inference
+    depth_pred, depth_nn, depth_gt, imgs = [], [], [], []
+    test_loss = 0.0
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        dev = {k: v for k, v in batch.items() if k != "pair_path"}
+        pred = model.test_on_batch(i, dev)
+        test_loss += float(
+            disparity_vali_loss(pred["depth"], batch["depth_mvs"])
+        )
+        pack = {
+            "depth": pred["depth"], "depth_nn": batch["depth_pred"],
+            "depth_gt": batch["depth_mvs"], "img_1": batch["img"],
+        }
+        np.savez(join(outdir, "batch%04d" % i), **pack)
+        visualizer.visualize(pack, i, outdir)
+        depth_pred.append(pred["depth"][0])
+        depth_nn.append(batch["depth_pred"][0])
+        depth_gt.append(batch["depth_mvs"][0])
+        imgs.append(batch["img"][0])
+    visualizer.flush()
+    test_loss /= max(len(dataset), 1)
+    print(f"disparity loss vs init: {test_loss:.6g}")
+
+    # ------------------------------------------------- comparison rendering
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    depth_pred = np.stack(depth_pred)
+    depth_nn = np.stack(depth_nn)
+    depth_gt = np.stack(depth_gt)
+    imgs = np.stack(imgs)
+    pred_min, pred_max = depth_pred.min(), depth_pred.max()
+    mask_valid = np.where(depth_gt > 1e-8, 1.0, 0.0)
+
+    def colorbar_panel(ax, im):
+        cbar = plt.colorbar(im, ax=ax, fraction=0.048 * 0.5, pad=0.01)
+        cbar.ax.yaxis.set_tick_params(color="w", labelsize=10)
+        plt.setp(plt.getp(cbar.ax.axes, "yticklabels"), color="w")
+
+    for i in range(depth_pred.shape[0]):
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5), facecolor="black")
+        panels = [
+            ("Refined", 1.0 / depth_pred[i]),
+            ("Initial", 1.0 / depth_nn[i]),
+            ("GT", mask_valid[i] / (depth_gt[i] + 1e-8)),
+        ]
+        for ax, (title, data) in zip(axes, panels):
+            im = ax.imshow(data, cmap="turbo",
+                           vmax=1.0 / pred_min, vmin=1.0 / pred_max)
+            ax.set_title(title, color="w")
+            ax.axis("off")
+            colorbar_panel(ax, im)
+        fig.savefig(join(outdir, "compare_%04d.png" % i),
+                    bbox_inches="tight", facecolor="black")
+        plt.close(fig)
+
+        plt.imshow(np.clip(imgs[i], 0, 1))
+        plt.axis("off")
+        plt.savefig(join(outdir, "rgb_%04d.png" % i),
+                    bbox_inches="tight", facecolor="black")
+        plt.close()
+
+    # temporal slices (reference rows 120..139 scaled to our height)
+    h = depth_pred.shape[1]
+    rows = range(min(120, h - 21), min(140, h - 1))
+    for ridx, r in enumerate(rows):
+        fig, axes = plt.subplots(1, 2, figsize=(12, 4), facecolor="black")
+        for ax, (title, data) in zip(
+            axes,
+            [("Refined", 1.0 / depth_pred[:, r, :]),
+             ("Initial", 1.0 / depth_nn[:, r, :])],
+        ):
+            im = ax.imshow(data, cmap="turbo")
+            ax.set_title(title, color="w")
+            ax.axis("off")
+            colorbar_panel(ax, im)
+        fig.savefig(join(outdir, "temporal_slice_%04d.png" % ridx),
+                    bbox_inches="tight", facecolor="black")
+        plt.close(fig)
+
+    # --------------------------------------------------------------- videos
+    vid = join(dirname(outdir), f"epoch{epoch_string}_test.mp4")
+    vid_t = join(dirname(outdir), f"epoch{epoch_string}_test_temporal.mp4")
+    ffmpeg_tpl = (
+        'ffmpeg -y -r {rate} -i {tpl} -vcodec libx264 -crf 25 -pix_fmt yuv420p'
+        ' -vf "pad=ceil(iw/2)*2:ceil(ih/2)*2" {out} > /dev/null 2>&1'
+    )
+    if os.system("which ffmpeg > /dev/null 2>&1") == 0:
+        call(ffmpeg_tpl.format(rate=30, tpl=join(outdir, "compare_%04d.png"),
+                               out=vid), shell=True)
+        call(ffmpeg_tpl.format(rate=2, tpl=join(outdir, "temporal_slice_%04d.png"),
+                               out=vid_t), shell=True)
+
+    web = Webpage()
+    web.add_video(os.path.basename(vid), title=f"Disparity loss {test_loss:.6g}")
+    web.add_video(os.path.basename(vid_t), title="temporal slices")
+    web.save(join(dirname(outdir), f"epoch{epoch_string}_test.html"))
+    print(f"Wrote results to {outdir}")
+
+
+if __name__ == "__main__":
+    main()
