@@ -1,0 +1,261 @@
+"""RAFT optical flow, TPU-native (preprocessing stage 2 compute;
+reference: scripts/preprocess/davis/generate_flows.py drives the official
+torch RAFT submodule with the raft-sintel checkpoint at 288x512, 20 iters).
+
+Re-implemented in Flax from the RAFT architecture (Teed & Deng, ECCV 2020):
+feature/context encoders at 1/8 resolution, an all-pairs correlation
+pyramid, a ConvGRU update operator, and convex upsampling. Module names
+encode the official checkpoint's state-dict paths (with the DataParallel
+``module.`` prefix stripped) so ``models.torch_port`` loads
+``raft-sintel.pth`` mechanically.
+
+TPU notes:
+- the all-pairs correlation is one big ``[H*W, C] @ [C, H*W]`` MXU matmul,
+- the per-iteration correlation lookup is a gather over the pyramid; a
+  Pallas fused version lives in ``ops.pallas.correlation``,
+- iterations run under ``lax.scan`` (static iteration count).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.lax import Precision
+
+from ..ops.grid_sample import grid_sample
+from ..ops.resize import resize_bilinear
+
+
+def _conv(features, kernel, stride=1, padding=None, name=None):
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(padding, padding), (padding, padding)], name=name)
+
+
+def _norm(kind: str, name: str):
+    if kind == "instance":
+        # torch InstanceNorm2d(affine=False, track_running_stats=False):
+        # per-sample, per-channel spatial normalization without params.
+        return lambda x: (x - x.mean((1, 2), keepdims=True)) * jax.lax.rsqrt(
+            x.var((1, 2), keepdims=True) + 1e-5
+        )
+    if kind == "batch":
+        bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name=name)
+        return bn
+    if kind == "none":
+        return lambda x: x
+    raise ValueError(kind)
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    norm: str
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = _conv(self.features, 3, stride=self.stride, name="conv1")(x)
+        y = nn.relu(_norm(self.norm, "norm1")(y))
+        y = _conv(self.features, 3, name="conv2")(y)
+        y = nn.relu(_norm(self.norm, "norm2")(y))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            d = _conv(self.features, 1, stride=self.stride, padding=0,
+                      name="downsample__0")(x)
+            d = _norm(self.norm, "downsample__1")(d)
+        else:
+            d = x
+        return nn.relu(y + d)
+
+
+class BasicEncoder(nn.Module):
+    output_dim: int = 256
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        y = _conv(64, 7, stride=2, name="conv1")(x)
+        y = nn.relu(_norm(self.norm, "norm1")(y))
+        for li, (feats, stride) in enumerate([(64, 1), (96, 2), (128, 2)], 1):
+            y = ResidualBlock(feats, self.norm, stride, name=f"layer{li}__0")(y)
+            y = ResidualBlock(feats, self.norm, 1, name=f"layer{li}__1")(y)
+        return _conv(self.output_dim, 1, padding=0, name="conv2")(y)
+
+
+def correlation_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
+                        num_levels: int = 4):
+    """All-pairs correlation + average-pooled pyramid.
+
+    fmap*: ``[B, H, W, C]`` -> list of ``[B, H*W, H/2^i, W/2^i]``.
+    """
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bic,bjc->bij", f1, f2,
+                      precision=Precision.HIGHEST) / jnp.sqrt(float(c))
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyramid = []
+    for _ in range(num_levels):
+        pyramid.append(corr.reshape(b, h * w, corr.shape[1], corr.shape[2]))
+        corr = nn.avg_pool(corr, (2, 2), strides=(2, 2))
+    return pyramid
+
+
+def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int = 4):
+    """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
+
+    coords: ``[B, H, W, 2]`` flow-displaced positions at 1/8 res.
+    Returns ``[B, H, W, num_levels*(2r+1)^2]``.
+    """
+    b, h, w, _ = coords.shape
+    r = radius
+    out = []
+    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    dy = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="xy"), axis=-1)  # [2r+1,2r+1,2]
+    delta = delta.reshape(-1, 2)  # [K, 2]
+    k = delta.shape[0]
+    for lvl, corr in enumerate(pyramid):
+        # corr: [B, H*W, Hl, Wl]; treat (B*H*W) as batch of [Hl, Wl, 1] maps
+        bl, n, hl, wl = corr.shape
+        cmap = corr.reshape(b * h * w, hl, wl, 1)
+        c = coords.reshape(b * h * w, 1, 1, 2) / (2.0 ** lvl)
+        pts = c + delta.reshape(1, 1, k, 2)  # [BHW, 1, K, 2]
+        sampled = grid_sample(cmap, pts)  # [BHW, 1, K, 1]
+        out.append(sampled.reshape(b, h, w, k))
+    return jnp.concatenate(out, axis=-1)
+
+
+class SmallMotionEncoder(nn.Module):
+    pass  # placeholder for the 'small' variant (not used by the reference)
+
+
+class BasicMotionEncoder(nn.Module):
+    corr_channels: int = 4 * 81
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(_conv(256, 1, padding=0, name="convc1")(corr))
+        c = nn.relu(_conv(192, 3, name="convc2")(c))
+        f = nn.relu(_conv(128, 7, name="convf1")(flow))
+        f = nn.relu(_conv(64, 3, name="convf2")(f))
+        out = nn.relu(_conv(128 - 2, 3, name="conv")(
+            jnp.concatenate([c, f], axis=-1)
+        ))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) ConvGRU used by the basic update block."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        def pass1(name_suffix, h, x, kernel):
+            kh, kw = kernel
+            pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+            def conv(name):
+                return nn.Conv(self.hidden, (kh, kw), padding=pad, name=name)
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(conv(f"convz{name_suffix}")(hx))
+            r = nn.sigmoid(conv(f"convr{name_suffix}")(hx))
+            q = nn.tanh(conv(f"convq{name_suffix}")(
+                jnp.concatenate([r * h, x], axis=-1)
+            ))
+            return (1 - z) * h + z * q
+
+        h = pass1("1", h, x, (1, 5))
+        h = pass1("2", h, x, (5, 1))
+        return h
+
+
+class FlowHead(nn.Module):
+    @nn.compact
+    def __call__(self, h):
+        y = nn.relu(_conv(256, 3, name="conv1")(h))
+        return _conv(2, 3, name="conv2")(y)
+
+
+class BasicUpdateBlock(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        net = SepConvGRU(self.hidden, name="gru")(
+            net, jnp.concatenate([inp, motion], axis=-1)
+        )
+        delta = FlowHead(name="flow_head")(net)
+        mask = nn.relu(_conv(256, 3, name="mask__0")(net))
+        mask = _conv(64 * 9, 1, padding=0, name="mask__2")(mask)
+        return net, 0.25 * mask, delta
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """8x convex-combination upsampling of the 1/8-res flow."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    # 3x3 neighborhoods of the (scaled) coarse flow
+    pad = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neighbors = jnp.stack(
+        [pad[:, i:i + h, j:j + w] for i in range(3) for j in range(3)], axis=3
+    )  # [B, H, W, 9, 2]
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, neighbors,
+                    precision=Precision.HIGHEST)
+    up = up.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * 8, w * 8, 2)
+    return up
+
+
+class RAFT(nn.Module):
+    """Full RAFT network. ``__call__(image1, image2, iters)`` returns the
+    final upsampled flow ``[B, H, W, 2]`` (and the 1/8-res flow).
+
+    Images: ``[B, H, W, 3]`` in [0, 255] like the official implementation
+    (normalized internally to [-1, 1]). H, W must be multiples of 8.
+    """
+
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int = 20):
+        image1 = 2.0 * (image1 / 255.0) - 1.0
+        image2 = 2.0 * (image2 / 255.0) - 1.0
+
+        fmaps = BasicEncoder(256, "instance", name="fnet")(
+            jnp.concatenate([image1, image2], axis=0)
+        )
+        b = image1.shape[0]
+        fmap1, fmap2 = fmaps[:b], fmaps[b:]
+        pyramid = correlation_pyramid(fmap1, fmap2, self.corr_levels)
+
+        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
+                            name="cnet")(image1)
+        net = nn.tanh(cnet[..., :self.hidden_dim])
+        inp = nn.relu(cnet[..., self.hidden_dim:])
+
+        bh, hw8, ww8 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+        xx = jnp.arange(ww8, dtype=jnp.float32)[None, :].repeat(hw8, 0)
+        yy = jnp.arange(hw8, dtype=jnp.float32)[:, None].repeat(ww8, 1)
+        coords0 = jnp.stack([xx, yy], axis=-1)[None].repeat(bh, 0)
+        coords1 = coords0
+
+        flow_up = None
+        for _ in range(iters):
+            corr = lookup_correlation(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, mask, delta = BasicUpdateBlock(self.hidden_dim,
+                                                name="update_block")(
+                net, inp, corr, flow
+            )
+            coords1 = coords1 + delta
+            flow_up = convex_upsample(coords1 - coords0, mask)
+        return coords1 - coords0, flow_up

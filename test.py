@@ -18,6 +18,8 @@ def main():
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
+    if os.environ.get("DVD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
     import numpy as np
 
     from dynamic_video_depth_tpu.data import get_dataset

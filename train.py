@@ -31,6 +31,10 @@ def main():
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
+    # The environment's sitecustomize force-selects the TPU platform; honor
+    # an explicit override (e.g. DVD_PLATFORM=cpu for smoke runs).
+    if os.environ.get("DVD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
 
     from dynamic_video_depth_tpu.data import get_dataset
     from dynamic_video_depth_tpu.models import get_model
