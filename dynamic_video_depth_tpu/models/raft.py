@@ -248,14 +248,12 @@ class RAFT(nn.Module):
         coords0 = jnp.stack([xx, yy], axis=-1)[None].repeat(bh, 0)
         coords1 = coords0
 
+        update_block = BasicUpdateBlock(self.hidden_dim, name="update_block")
         flow_up = None
         for _ in range(iters):
             corr = lookup_correlation(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
-            net, mask, delta = BasicUpdateBlock(self.hidden_dim,
-                                                name="update_block")(
-                net, inp, corr, flow
-            )
+            net, mask, delta = update_block(net, inp, corr, flow)
             coords1 = coords1 + delta
             flow_up = convex_upsample(coords1 - coords0, mask)
         return coords1 - coords0, flow_up

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""DAVIS preprocessing driver: stages 1-3 on TPU
+(reference: scripts/preprocess/davis/{generate_frame_midas,generate_flows,
+generate_sequence_midas}.py).
+
+Expects raw inputs:
+  <raw_root>/JPEGImages/1080p/<track>/*.jpg        (frames)
+  <raw_root>/triangulation/<track>.intrinsics.txt  (fx fy cx cy per frame)
+  <raw_root>/triangulation/<track>.matrices.txt    (4x4 w2c poses per frame)
+  <raw_root>/triangulation/<track>.obj             (triangulated points)
+
+Produces ./datafiles/davis_processed/{frames_midas,flow_pairs,
+sequences_select_pairs_midas}/<track>/... in the reference layout.
+"""
+
+import argparse
+import os
+import sys
+from glob import glob
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+
+def load_davis_track(raw_root, track):
+    from PIL import Image
+
+    frame_files = sorted(glob(join(raw_root, "JPEGImages", "1080p", track, "*.jpg")))
+    poses = np.loadtxt(join(raw_root, "triangulation", f"{track}.matrices.txt"))
+    poses = poses.reshape(-1, 4, 4)
+    intr = np.loadtxt(join(raw_root, "triangulation", f"{track}.intrinsics.txt"))
+
+    frames = []
+    for i, f in enumerate(frame_files):
+        img = np.asarray(Image.open(f), np.float32) / 255.0
+        fx, fy, cx, cy = intr[i][:4] if intr.ndim == 2 else intr[:4]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        frames.append({"img": img, "pose_w2c": poses[i], "intrinsics": K})
+    return frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--raw_root", required=True)
+    ap.add_argument("--track", required=True)
+    ap.add_argument("--out_root", default="./datafiles/davis_processed")
+    ap.add_argument("--gaps", default="1,2,3,4,5,6,7,8")
+    ap.add_argument("--raft_ckpt", default="./third_party/RAFT/models/raft-sintel.pth")
+    ap.add_argument("--stage", default="all", choices=["all", "frames", "flows", "pairs"])
+    args = ap.parse_args()
+
+    from dynamic_video_depth_tpu.preprocess import flows, frames as frames_mod, pairs
+
+    frame_dir = join(args.out_root, "frames_midas", args.track)
+    flow_dir = join(args.out_root, "flow_pairs", args.track)
+    seq_dir = join(args.out_root, "sequences_select_pairs_midas", args.track, "001")
+    gaps = [int(g) for g in args.gaps.split(",")]
+
+    if args.stage in ("all", "frames"):
+        track_frames = load_davis_track(args.raw_root, args.track)
+        depth_fn = frames_mod.make_midas_depth_fn()
+        s = frames_mod.process_track(track_frames, frame_dir, depth_fn,
+                                     max_width=384, multiple_of=64)
+        print(f"stage 1 done: {len(track_frames)} frames, scale {s:.4f}")
+
+    if args.stage in ("all", "flows"):
+        flows.process_track(frame_dir, flow_dir, gaps=gaps,
+                            ckpt_path=args.raft_ckpt)
+        print("stage 2 done")
+
+    if args.stage in ("all", "pairs"):
+        pairs.pack_track(frame_dir, flow_dir, seq_dir, gaps=gaps)
+        print("stage 3 done")
+
+
+if __name__ == "__main__":
+    main()
