@@ -1,0 +1,11 @@
+"""Pallas TPU kernels for the hot ops.
+
+- ``mlp_kernel``: fused scene-flow coordinate MLP (the dominant per-step
+  cost: a 256-wide MLP evaluated per pixel, integrated over the frame gap
+  and differentiated — unfused XLA spills ~88MB of activations to HBM per
+  layer per eval; the fused kernel keeps the whole chain in VMEM).
+"""
+
+from .mlp_kernel import fused_mlp, fused_mlp_reference
+
+__all__ = ["fused_mlp", "fused_mlp_reference"]

@@ -1,0 +1,201 @@
+"""Fused pointwise-MLP Pallas kernel (forward + custom VJP).
+
+The scene-flow field is a NeRF-style MLP evaluated at every pixel
+(reference: networks/sceneflow_field.py — canonical 132 -> 256 -> 256 x4 ->
+3 with leaky-relu 0.2). Per evaluation at 224x384 that is ~50 GFLOP and,
+unfused, ~0.5 GB of HBM traffic for inter-layer activations; one train step
+runs 3-10 evaluations forward plus their backward. This kernel keeps the
+whole layer chain (weights ~1.2 MB + one activation tile) resident in VMEM
+and streams point tiles through the MXU, reducing HBM traffic to the input
+features and output vectors only.
+
+Backward: custom VJP. The backward kernel re-materializes the forward
+activations per tile in VMEM (cheaper than writing them to HBM) and
+accumulates weight/bias gradients in resident output blocks across the
+sequential grid iterations; input gradients stream out per tile.
+
+All matmuls run with float32 accumulation (``preferred_element_type``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SLOPE = 0.2  # leaky-relu negative slope (reference: networks/blocks.py:86)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, _SLOPE * x)
+
+
+def _leaky_grad(z):
+    return jnp.where(z >= 0, 1.0, _SLOPE).astype(z.dtype)
+
+
+def fused_mlp_reference(feat, weights, biases):
+    """Plain-XLA reference implementation (also the CPU fallback)."""
+    h = feat
+    n = len(weights)
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if i < n - 1:
+            h = _leaky(h)
+    return h
+
+
+def _fwd_kernel(n_layers, feat_ref, *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    out_ref = refs[2 * n_layers]
+    h = feat_ref[:]
+    for i in range(n_layers):
+        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        h = h + b_refs[i][:]
+        if i < n_layers - 1:
+            h = _leaky(h)
+    out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _bwd_kernel(n_layers, feat_ref, g_ref, *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    dfeat_ref = refs[2 * n_layers]
+    dw_refs = refs[2 * n_layers + 1:3 * n_layers + 1]
+    db_refs = refs[3 * n_layers + 1:4 * n_layers + 1]
+
+    step = pl.program_id(0)
+
+    # re-materialize forward activations (inputs a_i and pre-activations z_i)
+    acts = [feat_ref[:]]
+    h = feat_ref[:]
+    zs = []
+    for i in range(n_layers):
+        z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        z = z + b_refs[i][:]
+        zs.append(z)
+        h = _leaky(z) if i < n_layers - 1 else z
+        if i < n_layers - 1:
+            acts.append(h)
+
+    @pl.when(step == 0)
+    def _init():
+        for i in range(n_layers):
+            dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
+            db_refs[i][:] = jnp.zeros_like(db_refs[i])
+
+    g = g_ref[:].astype(jnp.float32)
+    for i in reversed(range(n_layers)):
+        # bias has no pre-activation nonlinearity on the last layer
+        dz = g if i == n_layers - 1 else g * _leaky_grad(zs[i])
+        dw_refs[i][:] += jnp.dot(
+            acts[i].T, dz, preferred_element_type=jnp.float32
+        ).astype(dw_refs[i].dtype)
+        db_refs[i][:] += jnp.sum(dz, axis=0, keepdims=True).astype(db_refs[i].dtype)
+        g = jnp.dot(dz, w_refs[i][:].T, preferred_element_type=jnp.float32)
+    dfeat_ref[:] = g.astype(dfeat_ref.dtype)
+
+
+def _pad_to(n, m):
+    return (n + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_mlp(feat: jnp.ndarray, weights: Tuple[jnp.ndarray, ...],
+              biases: Tuple[jnp.ndarray, ...], tile: int = 512) -> jnp.ndarray:
+    """Fused MLP chain: ``feat [N, C0] -> [N, C_out]`` with leaky-relu
+    between layers (none after the last)."""
+    return _fused_mlp_fwd(feat, weights, biases, tile)[0]
+
+
+def _run_fwd(feat, weights, biases, tile):
+    n, c0 = feat.shape
+    n_layers = len(weights)
+    c_out = weights[-1].shape[1]
+    n_pad = _pad_to(max(n, 1), tile)
+    feat_p = jnp.pad(feat, ((0, n_pad - n), (0, 0)))
+    biases2d = [b.reshape(1, -1) for b in biases]
+
+    grid = (n_pad // tile,)
+    in_specs = [pl.BlockSpec((tile, c0), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in biases2d:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_out), feat.dtype),
+    )(feat_p, *weights, *biases2d)
+    return out[:n]
+
+
+def _fused_mlp_fwd(feat, weights, biases, tile):
+    out = _run_fwd(feat, tuple(weights), tuple(biases), tile)
+    return out, (feat, tuple(weights), tuple(biases))
+
+
+def _fused_mlp_bwd(tile, residuals, g):
+    feat, weights, biases = residuals
+    n, c0 = feat.shape
+    n_layers = len(weights)
+    c_out = weights[-1].shape[1]
+    n_pad = _pad_to(max(n, 1), tile)
+    feat_p = jnp.pad(feat, ((0, n_pad - n), (0, 0)))
+    g_p = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+    biases2d = [b.reshape(1, -1) for b in biases]
+
+    grid = (n_pad // tile,)
+    in_specs = [
+        pl.BlockSpec((tile, c0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in biases2d:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, c0), feat.dtype)]
+    out_specs = [pl.BlockSpec((tile, c0), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for b in biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_layers),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+    )(feat_p, g_p, *weights, *biases2d)
+
+    dfeat = outs[0][:n]
+    dws = tuple(outs[1 + i].astype(weights[i].dtype) for i in range(n_layers))
+    dbs = tuple(
+        outs[1 + n_layers + i][0].astype(biases[i].dtype)
+        for i in range(n_layers)
+    )
+    return dfeat, dws, dbs
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

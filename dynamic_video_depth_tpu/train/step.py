@@ -64,6 +64,8 @@ class TrainStepConfig:
     use_motion_seg: bool = False
     # numerics: bf16 conv compute for the depth nets (params stay f32)
     compute_dtype: str = "bfloat16"
+    # fused Pallas scene-flow MLP ('auto' = on TPU backends only)
+    use_pallas_sf: str = "auto"
 
 
 class TrainState(struct.PyTreeNode):
@@ -157,6 +159,14 @@ class SceneFlowMotionFieldStep:
         out = self.net_depth.apply(variables, img)
         return out.astype(jnp.float32)
 
+    def _sf_use_pallas(self) -> bool:
+        if self.cfg.use_cnn:
+            return False
+        mode = self.cfg.use_pallas_sf
+        if mode == "auto":
+            return jax.default_backend() not in ("cpu",)
+        return mode in ("1", "true", "on", "yes")
+
     def _apply_sf(self, params_sf, pts, ts):
         """One scene-flow field query, output already divided by sf_mag_div
         (reference: forward_sf_net, models/scene_flow_motion_field.py:346-358)."""
@@ -167,6 +177,23 @@ class SceneFlowMotionFieldStep:
                 else pts
             )
             sf = self.net_sf.apply({"params": params_sf}, x)
+        elif self._sf_use_pallas():
+            # Fused Pallas path: the embedding stays in XLA (elementwise,
+            # fuses into one pass), the whole dense chain runs in one
+            # VMEM-resident kernel (ops/pallas/mlp_kernel.py).
+            from ..ops.embedding import sceneflow_features
+            from ..ops.pallas import fused_mlp
+
+            b, h, w, _ = pts.shape
+            feat = sceneflow_features(
+                pts, ts if self.cfg.time_dependent else None,
+                self.cfg.n_freq_xyz, self.cfg.n_freq_t,
+                self.cfg.time_dependent,
+            ).reshape(b * h * w, -1)
+            names = sorted(params_sf.keys(), key=lambda s: int(s.split("__")[1]))
+            ws = tuple(params_sf[n]["kernel"] for n in names)
+            bs = tuple(params_sf[n]["bias"] for n in names)
+            sf = fused_mlp(feat, ws, bs).reshape(b, h, w, -1)
         elif self.cfg.time_dependent:
             sf = self.net_sf.apply({"params": params_sf}, pts, ts)
         else:

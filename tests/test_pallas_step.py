@@ -1,0 +1,56 @@
+"""The fused-Pallas scene-flow path must produce the same training step as
+the Flax path (values + parameter updates), in interpret mode on CPU."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+
+def cfg(use_pallas):
+    return TrainStepConfig(
+        lr=1e-4, scene_lr_mul=10.0, depth_net="tiny",
+        net_width=32, n_layers=2, n_freq_xyz=4, n_freq_t=2,
+        loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                        use_disp=True, midas=False),
+        compute_dtype="float32",
+        use_pallas_sf="on" if use_pallas else "off",
+    )
+
+
+def test_pallas_step_matches_flax_step(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    step_ref = SceneFlowMotionFieldStep(cfg(False))
+    state0 = step_ref.init_state(jax.random.PRNGKey(3), batch["img_1"])
+    ref_state, ref_logs = step_ref.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+    )
+
+    step_pl = SceneFlowMotionFieldStep(cfg(True))
+    with pltpu.force_tpu_interpret_mode():
+        pl_state, pl_logs = step_pl.train_step(
+            jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+        )
+
+    np.testing.assert_allclose(float(pl_logs["loss"]), float(ref_logs["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(pl_logs["acc_reg"]),
+                               float(ref_logs["acc_reg"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params_sf),
+                    jax.tree.leaves(pl_state.params_sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params_depth),
+                    jax.tree.leaves(pl_state.params_depth)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
