@@ -27,6 +27,9 @@ def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
         return nn.relu
     if name == "lrelu":
         return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    if name.startswith("lrelu:"):  # parameterized slope, e.g. 'lrelu:0.01'
+        slope = float(name.split(":", 1)[1])
+        return lambda x: nn.leaky_relu(x, negative_slope=slope)
     if name == "prelu":  # parameterless fallback: torch PReLU init slope 0.25
         return lambda x: nn.leaky_relu(x, negative_slope=0.25)
     if name == "selu":

@@ -41,7 +41,8 @@ class EmbeddedMLP(nn.Module):
     width: int = 64
     n_freq: int = 8
     skip: int = 3
-    activation: str = "lrelu"
+    # torch F.leaky_relu default slope (reference: networks/MLP.py:21)
+    activation: str = "lrelu:0.01"
     output_activation: str = "none"
     init_val: Optional[float] = None
 

@@ -89,6 +89,8 @@ class Trainer:
             logs = self.model.vali_on_batch(epoch, idx, dev)
             losses.append(float(logs["loss"]))
             sizes.append(int(logs.get("size", 1)))
+            if self.visualize_fn is not None:
+                self.visualize_fn("vali", epoch, idx, dev, host)
         total = max(sum(sizes), 1)
         loss = float(np.sum(np.asarray(losses) * np.asarray(sizes)) / total)
         return {"loss": loss, "size": total}

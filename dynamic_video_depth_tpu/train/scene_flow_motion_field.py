@@ -178,3 +178,24 @@ class Model:
     def test_on_batch(self, batch_idx: int, batch: Dict) -> Dict:
         pred, _ = self.step.vali_step(self.state, batch)
         return {k: np.asarray(v) for k, v in pred.items()}
+
+    def vis_on_batch(self, batch: Dict) -> Dict:
+        """Host prediction dict for visualization (train-pair batches)."""
+        steps = self.batch_steps(batch)
+        pred = self.step.forward_vis(self.state, batch, steps=steps)
+        return {k: np.asarray(v) for k, v in pred.items()}
+
+    def pack_output(self, pred: Dict, batch: Dict) -> Dict:
+        """(reference: pack_output, models/video_base.py:105-126)."""
+        out = dict(pred)
+        if "img" in batch:
+            out["img_1"] = np.asarray(batch["img"])
+            out["depth_nn"] = np.asarray(batch["depth_pred"])
+            out["depth_gt"] = np.asarray(batch["depth_mvs"])
+        else:
+            out["img_1"] = np.asarray(batch["img_1"])
+            out["img_2"] = np.asarray(batch["img_2"])
+            out["flow_1_2"] = np.asarray(batch["flow_1_2"])
+            out["flow_2_1"] = np.asarray(batch["flow_2_1"])
+            out["depth_nn_1"] = np.asarray(batch["depth_pred_1"])
+        return out

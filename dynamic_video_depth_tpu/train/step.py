@@ -316,6 +316,15 @@ class SceneFlowMotionFieldStep:
 
     # ------------------------------------------------------- vali/test steps
 
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def forward_vis(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                    steps: int):
+        """Prediction dict for visualization dumps (reference packs pred to
+        host every batch, models/scene_flow_motion_field.py:201-202; we only
+        run this on visualized batches)."""
+        return self._forward(state.params_depth, state.params_sf,
+                             state.stats_depth, batch, steps)
+
     @partial(jax.jit, static_argnames=("self",))
     def predict(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
         """Single-frame inference (reference: _predict_on_batch is_train=False,

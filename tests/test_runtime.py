@@ -1,0 +1,140 @@
+"""Runtime shell unit tests: loggers, checkpoints, config."""
+
+import argparse
+import csv
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dynamic_video_depth_tpu.runtime.checkpoint import (
+    load_state,
+    resolve_resume,
+    save_opt,
+    load_opt,
+    save_state,
+)
+from dynamic_video_depth_tpu.runtime.loggers import (
+    BatchCsvLogger,
+    ComposeLogger,
+    CsvLogger,
+    LogCumulator,
+    ModelSaveLogger,
+    TerminateOnNaN,
+)
+
+
+def run_fake_training(logger, epochs=3, batches=4, nan_at=None):
+    """Mirror of the reference's inline logger smoke test
+    (loggers/loggers.py:518-557)."""
+    logger.set_params({"epochs": epochs, "steps": batches})
+    logger.on_train_begin()
+    rng = np.random.RandomState(0)
+    for epoch in range(1, epochs + 1):
+        logger.on_epoch_begin(epoch)
+        for b in range(batches):
+            loss = float(rng.rand()) if nan_at != (epoch, b) else float("nan")
+            logger.on_batch_end(b, {"size": 2, "loss": loss,
+                                    "flow_loss_1_2": loss * 0.5})
+        cum = (logger.get_logger(LogCumulator)
+               if isinstance(logger, ComposeLogger) else None)
+        if cum:
+            cum.on_epoch_end(epoch)
+        logger.on_epoch_end(epoch, {"loss": 0.1 * epoch})
+    logger.on_train_end()
+
+
+def test_cumulator_weighted_mean():
+    cum = LogCumulator()
+    cum.on_epoch_begin(1)
+    cum.on_batch_end(0, {"size": 1, "loss": 1.0})
+    cum.on_batch_end(1, {"size": 3, "loss": 2.0})
+    logs = cum.get_epoch_logs()
+    assert abs(logs["loss"] - (1 * 1 + 3 * 2) / 4) < 1e-9
+    # device scalars convert lazily
+    cum.on_epoch_begin(2)
+    cum.on_batch_end(0, {"size": 1, "loss": jnp.asarray(2.0)})
+    assert abs(cum.get_epoch_logs()["loss"] - 2.0) < 1e-9
+
+
+def test_csv_loggers(tmp_path):
+    cum = LogCumulator()
+    csvlog = CsvLogger(str(tmp_path / "epoch_loss.csv"), cum)
+    batchlog = BatchCsvLogger(str(tmp_path / "batch_loss.csv"))
+    logger = ComposeLogger([cum, csvlog, batchlog])
+    run_fake_training(logger)
+    with open(tmp_path / "epoch_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3 and "loss" in rows[0]
+    with open(tmp_path / "batch_loss.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 12
+
+
+def test_terminate_on_nan():
+    cum = LogCumulator()
+    logger = ComposeLogger([cum, TerminateOnNaN()])
+    logger.set_params({})
+    logger.on_train_begin()
+    logger.on_epoch_begin(1)
+    logger.on_batch_end(0, {"size": 1, "loss": float("nan")})
+    cum.on_epoch_end(1)
+    with pytest.raises(FloatingPointError):
+        logger.on_epoch_end(1, cum.epoch_logs)
+
+
+def test_model_save_best_only(tmp_path):
+    saves = []
+    saver = ModelSaveLogger(
+        lambda path, epoch, best: saves.append((path, epoch, best)),
+        str(tmp_path / "best.ckpt"), save_best_only=True,
+    )
+    saver.on_epoch_end(1, {"loss": 1.0})
+    saver.on_epoch_end(2, {"loss": 2.0})  # worse: no save
+    saver.on_epoch_end(3, {"loss": 0.5})
+    assert len(saves) == 2
+    assert saves[-1][1] == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    path = str(tmp_path / "checkpoint.ckpt")
+    save_state(path, state, epoch=5, best=0.25)
+    template = {"params": {"w": jnp.zeros((2, 3))}, "step": jnp.asarray(0)}
+    loaded, meta = load_state(path, template)
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    assert meta["epoch"] == 5 and meta["best"] == 0.25
+
+
+def test_resolve_resume(tmp_path):
+    d = str(tmp_path)
+    assert resolve_resume(d, 0) is None
+    assert resolve_resume(d, -1).endswith("checkpoint.ckpt")
+    assert resolve_resume(d, -2).endswith("best.ckpt")
+    assert resolve_resume(d, 7).endswith("0007.ckpt")
+
+
+def test_opt_roundtrip(tmp_path):
+    opt = argparse.Namespace(lr=1e-6, net="scene_flow_motion_field",
+                             gaps="1,2", midas=True)
+    save_opt(str(tmp_path), opt)
+    loaded = load_opt(str(tmp_path))
+    assert loaded["lr"] == 1e-6 and loaded["midas"] is True
+    assert os.path.isfile(tmp_path / "opt.txt")
+
+
+def test_config_two_phase_parse():
+    from dynamic_video_depth_tpu.runtime.config import parse
+
+    opt, unique = parse([
+        "--net", "scene_flow_motion_field", "--dataset", "davis_sequence",
+        "--track_id", "dog", "--midas", "--use_disp", "--scene_lr_mul",
+        "1000", "--gaps", "1,2,4,6,8", "--unknown_flag_zzz",
+    ])
+    assert opt.track_id == "dog"
+    assert opt.scene_lr_mul == 1000
+    assert opt.midas and opt.use_disp
+    assert "epoch_batches" in unique

@@ -133,9 +133,34 @@ def main():
     )
     logger.add_logger(best_saver)
 
+    # --------------------------------------------------------- visualization
+    from dynamic_video_depth_tpu.utils.visualizer import HTMLVisualizer
+    import numpy as np
+
+    visualizer = HTMLVisualizer(n_workers=opt.vis_workers)
+
+    def visualize_fn(phase, epoch, batch_idx, dev_batch, host_batch):
+        every = opt.vis_every_train if phase == "train" else opt.vis_every_vali
+        limit = opt.vis_batches_train if phase == "train" else opt.vis_batches_vali
+        if every <= 0 or epoch % every != 0 or batch_idx >= limit:
+            return
+        outdir = join(opt.full_logdir, "visualize",
+                      f"epoch{epoch:04d}_{phase}")
+        os.makedirs(outdir, exist_ok=True)
+        if phase == "train":
+            pred = model.vis_on_batch(dev_batch)
+        else:
+            pred = {k: np.asarray(v) for k, v in
+                    (model.last_pred or {}).items()}
+        output = model.pack_output(pred, dev_batch)
+        visualizer.visualize(output, batch_idx + 1000 * epoch, outdir)
+        np.savez(join(outdir, "rank0000_batch%04d" % batch_idx), **output)
+
     # ------------------------------------------------------------------ train
-    trainer = Trainer(model, dataset_train, dataset_vali, logger, opt)
+    trainer = Trainer(model, dataset_train, dataset_vali, logger, opt,
+                      visualize_fn=visualize_fn)
     trainer.train(start_epoch=start_epoch)
+    visualizer.close()
 
     # -------------------------------------------------- chained test template
     if opt.test_template and os.path.isfile(opt.test_template):
