@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Multi-video fleet training CLI: optimize several videos in lockstep, one
+video per chip (BASELINE config #5).
+
+The single-video driver (train.py) mirrors the reference's UX; this driver
+is the TPU-native scaling path the reference's DDP intended but never had:
+V independent per-video optimizations execute as one jitted program over a
+``video`` mesh axis (see parallel/multi_video.py).
+
+Usage:
+  python train_fleet.py --tracks dog,train,car --dataset davis_sequence \
+      --epoch 20 --epoch_batches 2000 [same model flags as train.py]
+
+Per-step, all videos consume their own pair batch of the SAME frame gap
+(gap buckets rotate across steps); per-video logs and checkpoints are
+written under <logdir>/<track>/.
+"""
+
+import os
+import sys
+from os.path import join
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if os.environ.get("DVD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
+    import numpy as np
+
+    from dynamic_video_depth_tpu.data import get_dataset
+    from dynamic_video_depth_tpu.models import get_model
+    from dynamic_video_depth_tpu.parallel import MultiVideoOptimizer, make_mesh
+    from dynamic_video_depth_tpu.parallel.multi_video import (
+        tree_index,
+        tree_stack,
+    )
+    from dynamic_video_depth_tpu.runtime import config as config_mod
+    from dynamic_video_depth_tpu.runtime.checkpoint import save_opt, save_state
+    from dynamic_video_depth_tpu.runtime.loggers import (
+        ComposeLogger,
+        CsvLogger,
+        LogCumulator,
+        ProgbarLogger,
+    )
+
+    # reuse the full train.py flag surface + fleet-specific flags
+    argv = sys.argv[1:]
+    extra = []
+    tracks = None
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--tracks":
+            tracks = argv[i + 1].split(",")
+            i += 2
+        else:
+            extra.append(argv[i])
+            i += 1
+    assert tracks, "--tracks a,b,c is required"
+    if "--track_id" not in extra:
+        extra += ["--track_id", tracks[0]]
+    opt, _ = config_mod.parse(extra)
+
+    n_videos = len(tracks)
+    n_dev = len(jax.devices())
+    assert n_videos <= n_dev, (
+        f"{n_videos} videos > {n_dev} devices; fleet packs one video per chip"
+    )
+
+    Model = get_model(opt.net)
+    Dataset = get_dataset(opt.dataset)
+
+    # per-track datasets + models (sharing one compiled step via the fleet)
+    import copy
+
+    models, datasets = [], []
+    for t in tracks:
+        o = copy.deepcopy(opt)
+        o.track_id = t
+        m = Model(o, None)
+        models.append(m)
+        datasets.append(Dataset(o, mode="train", model=m))
+    base = models[0]
+
+    mesh = make_mesh([("video", n_videos)])
+    fleet = MultiVideoOptimizer(base.step, mesh)
+
+    # init per-video states (pretrained load once, replicated)
+    sample = datasets[0][0]
+    base.init_from_sample(sample["img_1"], seed=opt.manual_seed or 0)
+    states = fleet.broadcast_state(base.state, n_videos)
+
+    logdir = opt.logdir or "./checkpoints/fleet"
+    os.makedirs(logdir, exist_ok=True)
+    save_opt(logdir, opt)
+
+    cum = LogCumulator()
+    logger = ComposeLogger([
+        cum, ProgbarLogger(interval=opt.progbar_interval),
+        CsvLogger(join(logdir, "epoch_loss.csv"), cum),
+    ])
+    logger.set_params({"epochs": opt.epoch,
+                       "steps": opt.epoch_batches or len(datasets[0])})
+    logger.on_train_begin()
+
+    rng = np.random.RandomState(opt.manual_seed or 0)
+    # group files per gap so every lockstep call has one static gap
+    def gap_orders(ds):
+        by_gap = {}
+        for i in range(len(ds.file_list)):
+            by_gap.setdefault(ds.gap_of(i), []).append(i)
+        return by_gap
+
+    orders = [gap_orders(ds) for ds in datasets]
+    gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
+
+    for epoch in range(1, opt.epoch + 1):
+        warm = epoch <= getattr(opt, "warm_sf", 0)
+        logger.on_epoch_begin(epoch)
+        n_steps = opt.epoch_batches or min(len(d) for d in datasets)
+        for it_ in range(n_steps):
+            gap = gaps[rng.randint(len(gaps))]
+            batches = []
+            for vi, ds in enumerate(datasets):
+                idxs = orders[vi][gap]
+                b = ds[idxs[rng.randint(len(idxs))]]
+                batches.append({k: v for k, v in b.items() if k != "pair_path"})
+            stacked = jax.device_put(tree_stack(
+                [jax.tree.map(jax.numpy.asarray, b) for b in batches]
+            ), fleet.state_sharding())
+            states, logs = fleet.train_step(states, stacked,
+                                            steps=int(round(gap / datasets[0].unit)),
+                                            warm=warm)
+            mean_logs = {k: float(np.mean(np.asarray(v)))
+                         for k, v in logs.items()}
+            mean_logs["size"] = n_videos
+            logger.on_batch_end(it_, mean_logs)
+        cum.on_epoch_end(epoch)
+        logger.on_epoch_end(epoch, cum.epoch_logs)
+
+        # per-video checkpoints
+        for vi, t in enumerate(tracks):
+            state_i = tree_index(jax.device_get(states), vi)
+            save_state(join(logdir, t, "checkpoint.ckpt"), state_i,
+                       epoch=epoch)
+    logger.on_train_end()
+    print(f"fleet of {n_videos} videos done; checkpoints under {logdir}/<track>/")
+
+
+if __name__ == "__main__":
+    main()
