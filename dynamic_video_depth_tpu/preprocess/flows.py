@@ -33,7 +33,7 @@ def resize_flow(flow: np.ndarray, out_hw) -> np.ndarray:
 
     h, w = flow.shape[:2]
     nh, nw = out_hw
-    out = np.asarray(
+    out = np.array(
         resize_bicubic(jnp.asarray(flow[None], jnp.float32), (nh, nw), False)[0]
     )
     out[..., 0] *= nw / float(w)

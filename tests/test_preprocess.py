@@ -1,0 +1,169 @@
+"""Preprocessing pipeline integration test: raw frames -> stage 1 (depth +
+calibration) -> stage 2 outputs (flows; exact geometric flows stand in for
+RAFT) -> stage 3 (pair packing) -> training loader -> one train step."""
+
+import argparse
+from os.path import join
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dynamic_video_depth_tpu.preprocess import frames as frames_mod
+from dynamic_video_depth_tpu.preprocess import flows as flows_mod
+from dynamic_video_depth_tpu.preprocess import pairs as pairs_mod
+
+
+def make_raw_frames(rng, n=5, h=40, w=60):
+    """Raw frames with graphics-convention w2c poses and dense mvs depth."""
+    frames = []
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    for i in range(n):
+        img = rng.rand(h, w, 3).astype(np.float32)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.01 * i, 0.0, -0.005 * i]
+        # invert the stage-1 convention: pose_w2c = inv(flip @ ... ) story
+        pose_w2c = np.linalg.inv(flip @ np.linalg.inv(c2w) @ flip) if False else (
+            flip @ np.linalg.inv(c2w)
+        )
+        f = 0.8 * w
+        K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+        depth_mvs = (2.0 + rng.rand(h, w)).astype(np.float32)
+        frames.append({
+            "img": img, "pose_w2c": pose_w2c.astype(np.float32),
+            "intrinsics": K, "depth_mvs": depth_mvs,
+        })
+    return frames
+
+
+def tiny_depth_fn(imgs):
+    """Stage-1 depth stand-in: smooth positive function of the image."""
+    return 2.0 + np.asarray(imgs).mean(-1)
+
+
+def test_stage1_outputs(tmp_path, rng):
+    frames = make_raw_frames(rng)
+    out = str(tmp_path / "frames_midas" / "dog")
+    s = frames_mod.process_track(frames, out, tiny_depth_fn,
+                                 max_width=48, multiple_of=16)
+    assert np.isfinite(s) and s > 0
+    data = dict(np.load(join(out, "frame_00000.npz")))
+    h, w = data["img"].shape[:2]
+    assert w <= 48 and h % 16 == 0 and w % 16 == 0
+    assert data["pose_c2w"].shape == (4, 4)
+    assert data["depth_pred"].shape == (h, w)
+    # c2w recovered: R orthonormal
+    R = data["pose_c2w"][:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_flow_utils(rng):
+    flow = (rng.randn(12, 16, 2) * 2).astype(np.float32)
+    resized = flows_mod.resize_flow(flow, (24, 32))
+    assert resized.shape == (24, 32, 2)
+    # doubling resolution doubles magnitudes (reference :44-54)
+    assert abs(resized[..., 0].mean() / flow[..., 0].mean() - 2) < 0.2
+
+    m = flows_mod.oob_mask(np.full((8, 8, 2), 100, np.float32))
+    assert m.min() == 1.0
+    m = flows_mod.oob_mask(np.zeros((8, 8, 2), np.float32))
+    assert m.max() == 0.0
+
+    # zero flows -> zero consistency error -> no occlusion
+    m1, m2 = flows_mod.occlusion_masks(
+        np.zeros((8, 8, 2), np.float32), np.zeros((8, 8, 2), np.float32)
+    )
+    assert m1.max() == 0 and m2.max() == 0
+
+
+def test_full_pipeline_to_train_step(tmp_path, rng):
+    root = str(tmp_path)
+    frames = make_raw_frames(rng, n=6, h=32, w=48)
+    frame_dir = join(root, "frames_midas", "dog")
+    frames_mod.process_track(frames, frame_dir, tiny_depth_fn,
+                             max_width=48, multiple_of=16)
+
+    # stage 2 stand-in: exact depth-induced flows from the stage-1 artifacts
+    import os
+
+    from dynamic_video_depth_tpu.ops import Camera, flow_by_depth
+
+    flow_dir = join(root, "flow_pairs", "dog")
+    os.makedirs(flow_dir, exist_ok=True)
+    fr = [dict(np.load(join(frame_dir, "frame_%05d.npz" % i)))
+          for i in range(6)]
+
+    def cam_of(d):
+        K = d["intrinsics"][None]
+        return Camera(
+            jnp.asarray(d["pose_c2w"][None, :3, :3]),
+            jnp.asarray(d["pose_c2w"][None, :3, 3]),
+            jnp.asarray(K), jnp.asarray(np.linalg.inv(K[0])[None]),
+        )
+
+    for g in (1, 2):
+        for i in range(6 - g):
+            j = i + g
+            d1 = jnp.asarray(fr[i]["depth_pred"][None])
+            d2 = jnp.asarray(fr[j]["depth_pred"][None])
+            zero = jnp.zeros(d1.shape + (2,), jnp.float32)
+            f12 = np.asarray(flow_by_depth(d1, d2, zero, cam_of(fr[i]),
+                                           cam_of(fr[j]))["dflow_1_2"][0])
+            f21 = np.asarray(flow_by_depth(d2, d1, zero, cam_of(fr[j]),
+                                           cam_of(fr[i]))["dflow_1_2"][0])
+            np.savez(join(flow_dir, f"flowpair_{i:05d}_{j:05d}.npz"),
+                     flow_1_2=f12, flow_2_1=f21,
+                     mask_1=np.zeros(f12.shape[:2], np.uint8),
+                     mask_2=np.zeros(f12.shape[:2], np.uint8))
+
+    seq_dir = join(root, "sequences_select_pairs_midas", "dog", "001")
+    pairs_mod.pack_track(frame_dir, flow_dir, seq_dir, gaps=(1, 2))
+
+    # the packed artifacts feed the standard loader + train step
+    from dynamic_video_depth_tpu.data import get_dataset
+    from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+    from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+    opt = argparse.Namespace(track_id="dog", gaps="1,2", repeat=1,
+                             subsample=False, cache=False, overfit=False,
+                             capat=1, select=False, data_root=root)
+    ds = get_dataset("davis_sequence")(opt, mode="train")
+    # reference packs n - batch_size - gap pairs per gap
+    # (generate_sequence_midas.py:186): 6-1-1 + 6-1-2 = 7
+    assert len(ds) == (4 + 3)
+    b = {k: jnp.asarray(v) for k, v in ds[0].items() if k != "pair_path"}
+    step = SceneFlowMotionFieldStep(TrainStepConfig(
+        lr=1e-4, scene_lr_mul=10.0, depth_net="tiny", net_width=16,
+        n_layers=1, n_freq_xyz=2, n_freq_t=1,
+        loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                        use_disp=True, midas=False),
+        compute_dtype="float32",
+    ))
+    state = step.init_state(jax.random.PRNGKey(0), b["img_1"])
+    state, logs = step.train_step(state, b, steps=1, warm=False)
+    assert np.isfinite(float(logs["loss"]))
+
+    # vali loader over the same stage-1 artifacts
+    ds_v = get_dataset("davis_sequence")(opt, mode="vali")
+    bv = {k: jnp.asarray(v) for k, v in ds_v[0].items() if k != "pair_path"}
+    pred, vlogs = step.vali_step(state, bv)
+    assert np.isfinite(float(vlogs["loss"]))
+
+
+def test_shutterstock_track_by_index(tmp_path, rng):
+    """shutterstock dataset selects tracks by sorted index
+    (reference: datasets/shutterstock.py:40-43)."""
+    from dynamic_video_depth_tpu.data.synthetic import make_track
+
+    root = str(tmp_path)
+    for name in ["alpha", "beta"]:
+        make_track(root, track=name, n_frames=5, h=16, w=24, gaps=(1,))
+    from dynamic_video_depth_tpu.data import get_dataset
+
+    opt = argparse.Namespace(track_id="1", gaps="1", repeat=1,
+                             subsample=False, cache=False, overfit=False,
+                             capat=1, select=False, data_root=root)
+    ds = get_dataset("shutterstock")(opt, mode="train")
+    assert opt.track_id == "beta"
+    assert len(ds) > 0 and "beta" in ds.file_list[0]
