@@ -33,6 +33,87 @@ def flip_world_to_cam(pose_w2c: np.ndarray) -> np.ndarray:
     return np.linalg.inv(p).astype(np.float32)
 
 
+def load_obj_vertices(path: str) -> np.ndarray:
+    """Parse vertex lines of a triangulation .obj (no trimesh dependency)."""
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+    return np.asarray(verts, np.float64)
+
+
+def _bilinear_sample(img: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """scipy.ndimage.map_coordinates(order=1) equivalent for 2D images."""
+    h, w = img.shape
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = ys - y0
+    fx = xs - x0
+    return (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx
+            + img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+
+
+def sparse_calibration_scale(points_3d, extrinsics_w2c, K, pred_depths,
+                             object_masks=None):
+    """Per-track scale from triangulated sparse points (reference: davis
+    generate_frame_midas.py:83-112): project the point cloud into each
+    frame, keep in-bounds static (object mask < 0.1) points with depth >
+    1e-3, and take ``mean over frames of median(pred/mvs)``.
+
+    Args:
+      points_3d: ``[P, 3]`` triangulated world points.
+      extrinsics_w2c: ``[F, 4, 4]`` flipped world-to-camera matrices.
+      K: ``[3, 3]`` intrinsics at the *original* resolution.
+      pred_depths: list of ``[H, W]`` depth-net outputs (original res).
+      object_masks: optional list of ``[H, W]`` moving-object masks in [0,1].
+    """
+    h_pt = np.concatenate(
+        [points_3d, np.ones((points_3d.shape[0], 1))], axis=1
+    ).T
+    scales = []
+    for x in range(len(pred_depths)):
+        cam = extrinsics_w2c[x] @ h_pt
+        im_pt = K @ cam[:3]
+        depth = im_pt[2].copy()
+        im_pt = im_pt / im_pt[2:]
+        hh, ww = pred_depths[x].shape
+        sel = (
+            (im_pt[0] >= 0) & (im_pt[0] < ww)
+            & (im_pt[1] >= 0) & (im_pt[1] < hh)
+        )
+        pts, d = im_pt[:, sel], depth[sel]
+        if object_masks is not None:
+            m = _bilinear_sample(object_masks[x], pts[1], pts[0])
+            keep = m < 0.1
+            pts, d = pts[:, keep], d[keep]
+        keep = d > 1e-3
+        pts, d = pts[:, keep], d[keep]
+        if d.size == 0:
+            continue
+        pred = _bilinear_sample(pred_depths[x], pts[1], pts[0])
+        scales.append(np.median(pred / d))
+    return float(np.mean(scales)) if scales else 1.0
+
+
+def recenter_intrinsics(K: np.ndarray, orig_hw, out_hw) -> np.ndarray:
+    """DAVIS stage-1 intrinsics rescale: focal lengths scaled, principal
+    point recentered to the image center (reference: davis
+    generate_frame_midas.py:133-139)."""
+    h, w = orig_hw
+    th, tw = out_hw
+    K2 = np.asarray(K, np.float32).copy()
+    K2[0, 0] /= w / tw
+    K2[1, 1] /= h / th
+    K2[0, 2] = (tw - 1) / 2
+    K2[1, 2] = (th - 1) / 2
+    return K2
+
+
 def working_resolution(h: int, w: int, max_width: int = 384,
                        multiple_of: int = 64):
     """(reference: davis generate_frame_midas.py:118-126)."""
@@ -130,6 +211,68 @@ def process_track(
             depth_mvs=(mvs_rs[i] * s).astype(np.float32)
             if f.get("depth_mvs") is not None else depth_pred[i].astype(np.float32),
             img_orig=f["img"].astype(np.float32),
+            motion_seg=seg,
+        )
+    return s
+
+
+def process_davis_track(
+    imgs: List[np.ndarray],
+    matrices: np.ndarray,
+    K: np.ndarray,
+    points_3d: np.ndarray,
+    object_masks: List[np.ndarray],
+    out_dir: str,
+    depth_fn: Callable[[np.ndarray], np.ndarray],
+    max_width: int = 384,
+    multiple_of: int = 64,
+) -> float:
+    """Exact DAVIS stage-1 (reference: scripts/preprocess/davis/
+    generate_frame_midas.py:40-147): depth-net inference at the original
+    resolution, sparse-point scale calibration, axis flip + w2c->c2w, resize
+    with recentered intrinsics. NOTE the reference stores the resized depth
+    *prediction* as ``depth_mvs`` for DAVIS (line :134) — the vali "GT" is
+    the single-frame init, reproduced here deliberately.
+
+    Args:
+      imgs: list of ``[H, W, 3]`` float frames in [0, 1].
+      matrices: ``[F, 4, 4]`` raw camera matrices from the triangulation
+        file (cam-to-world, graphics axes).
+      K: ``[3, 3]`` intrinsics at original resolution.
+      points_3d: ``[P, 3]`` triangulated world points.
+      object_masks: list of ``[H, W]`` moving-object masks in [0, 1].
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    extr = flip[None] @ np.linalg.inv(matrices)  # [F, 4, 4] w2c, vision axes
+
+    # depth at original resolution, frame by frame (arbitrary input sizes)
+    pred_depths = [np.asarray(depth_fn(im[None]))[0] for im in imgs]
+
+    s = sparse_calibration_scale(points_3d, extr, K, pred_depths, object_masks)
+
+    h, w = imgs[0].shape[:2]
+    sc = min(max_width / w, 1.0)
+    tw = max_width if w > max_width else w
+    th = int(round(h * sc / multiple_of) * multiple_of)
+
+    for i, im in enumerate(imgs):
+        t_g1 = extr[i].copy()
+        t_g1[:3, 3] *= s
+        pose_c2w = np.linalg.inv(t_g1).astype(np.float32)
+        img_rs = resize_frame(im, (th, tw))
+        depth_rs = resize_frame(pred_depths[i][..., None], (th, tw))[..., 0]
+        seg = resize_frame(object_masks[i][..., None].astype(np.float32),
+                           (th, tw))[..., 0]
+        seg = np.where(seg > 1e-3, 1.0, 0.0).astype(np.float32)
+        np.savez(
+            join(out_dir, "frame_%05d.npz" % i),
+            img=img_rs.astype(np.float32),
+            pose_c2w=pose_c2w,
+            intrinsics=recenter_intrinsics(K, (h, w), (th, tw)),
+            depth_pred=depth_rs.astype(np.float32),
+            depth_mvs=depth_rs.astype(np.float32),
+            img_orig=im.astype(np.float32),
             motion_seg=seg,
         )
     return s

@@ -26,20 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def load_davis_track(raw_root, track):
+    """Raw DAVIS inputs in the reference layout (reference: scripts/
+    preprocess/davis/generate_frame_midas.py:40-56): frames, per-frame
+    moving-object masks, triangulation intrinsics/matrices/obj."""
     from PIL import Image
 
     frame_files = sorted(glob(join(raw_root, "JPEGImages", "1080p", track, "*.jpg")))
-    poses = np.loadtxt(join(raw_root, "triangulation", f"{track}.matrices.txt"))
-    poses = poses.reshape(-1, 4, 4)
-    intr = np.loadtxt(join(raw_root, "triangulation", f"{track}.intrinsics.txt"))
+    mask_files = sorted(glob(join(raw_root, "Annotations", "1080p", track, "*.png")))
+    tri = join(raw_root, "triangulation")
+    fx, fy, cx, cy = np.loadtxt(join(tri, f"{track}.intrinsics.txt"))[0][1:]
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    matrices = np.loadtxt(join(tri, f"{track}.matrices.txt"))[:, 1:]
+    matrices = matrices.reshape(-1, 4, 4)
 
-    frames = []
-    for i, f in enumerate(frame_files):
-        img = np.asarray(Image.open(f), np.float32) / 255.0
-        fx, fy, cx, cy = intr[i][:4] if intr.ndim == 2 else intr[:4]
-        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-        frames.append({"img": img, "pose_w2c": poses[i], "intrinsics": K})
-    return frames
+    from dynamic_video_depth_tpu.preprocess.frames import load_obj_vertices
+
+    points_3d = load_obj_vertices(join(tri, f"{track}.obj"))
+
+    imgs = [np.asarray(Image.open(f), np.float32) / 255.0 for f in frame_files]
+    masks = [
+        np.asarray(Image.open(f).convert("RGB"), np.float32)[:, :, 0] / 255.0
+        for f in mask_files
+    ]
+    return imgs, matrices, K, points_3d, masks
 
 
 def main():
@@ -60,11 +69,15 @@ def main():
     gaps = [int(g) for g in args.gaps.split(",")]
 
     if args.stage in ("all", "frames"):
-        track_frames = load_davis_track(args.raw_root, args.track)
+        imgs, matrices, K, points_3d, masks = load_davis_track(
+            args.raw_root, args.track
+        )
         depth_fn = frames_mod.make_midas_depth_fn()
-        s = frames_mod.process_track(track_frames, frame_dir, depth_fn,
-                                     max_width=384, multiple_of=64)
-        print(f"stage 1 done: {len(track_frames)} frames, scale {s:.4f}")
+        s = frames_mod.process_davis_track(
+            imgs, matrices, K, points_3d, masks, frame_dir, depth_fn,
+            max_width=384, multiple_of=64,
+        )
+        print(f"stage 1 done: {len(imgs)} frames, scale {s:.4f}")
 
     if args.stage in ("all", "flows"):
         flows.process_track(frame_dir, flow_dir, gaps=gaps,
