@@ -91,6 +91,8 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--vis_param_f", default=None, type=str)
     a("--vis_at_start", action="store_true")
     a("--test_template", type=str, default=None)
+    a("--profile_dir", type=str, default=None,
+      help="write a jax.profiler trace of the first training epoch here")
     return parser, unique_params
 
 

@@ -63,6 +63,16 @@ class Trainer:
     def _train_one(self, epoch: int):
         opt = self.opt
         warm = epoch <= getattr(opt, "warm_sf", 0)
+        profile_dir = getattr(opt, "profile_dir", None)
+        if profile_dir and epoch == 1:
+            from ..runtime.profiling import trace_if
+
+            with trace_if(profile_dir, True):
+                return self._train_epoch_body(epoch, warm)
+        return self._train_epoch_body(epoch, warm)
+
+    def _train_epoch_body(self, epoch: int, warm: bool):
+        opt = self.opt
         self.logger.on_epoch_begin(epoch)
         order = self.epoch_order(len(self.dataset_train), opt.epoch_batches)
         loader = BatchLoader(self.dataset_train, order)

@@ -141,8 +141,13 @@ class Model:
         variables = {"params": self.state.params_depth}
         if self.state.stats_depth:
             variables["batch_stats"] = self.state.stats_depth
-        prefix = "" if self.cfg.midas else "net_depth."
-        ported = port_torch_variables(variables, sd, prefix=prefix)
+        if not self.cfg.midas:
+            # the hourglass ckpt stores the inner HourglassModel's keys;
+            # our wrapper nests them under 'net_depth' (reference loads it
+            # via self.net_depth.net_depth.load_state_dict,
+            # models/scene_flow_motion_field.py:121)
+            sd = {"net_depth." + k: v for k, v in sd.items()}
+        ported = port_torch_variables(variables, sd)
         self.state = self.state.replace(
             params_depth=ported["params"],
             stats_depth=ported.get("batch_stats", self.state.stats_depth),
@@ -178,6 +183,15 @@ class Model:
     def test_on_batch(self, batch_idx: int, batch: Dict) -> Dict:
         pred, _ = self.step.vali_step(self.state, batch)
         return {k: np.asarray(v) for k, v in pred.items()}
+
+    def count_params(self) -> Dict[str, int]:
+        """(reference: NetInterface param counting, models/netinterface.py:
+        433-440)."""
+        count = lambda tree: int(sum(p.size for p in jax.tree.leaves(tree)))
+        return {
+            "net_depth": count(self.state.params_depth),
+            "net_sceneflow": count(self.state.params_sf),
+        }
 
     def vis_on_batch(self, batch: Dict) -> Dict:
         """Host prediction dict for visualization (train-pair batches)."""

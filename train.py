@@ -106,6 +106,9 @@ def main():
 
     sample = dataset_train[0]
     model.init_from_sample(sample["img_1"], seed=opt.manual_seed or 0)
+    if opt.print_net:
+        for name, n in model.count_params().items():
+            print(f"{name}: {n / 1e6:.2f}M params")
 
     start_epoch = 1
     if resume_path and os.path.isfile(resume_path):
