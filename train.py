@@ -25,12 +25,13 @@ from os.path import join
 
 
 def main():
-    # Force f32 matmul precision globally: per-video optimization is
-    # gradient-starved (lr 1e-6) and bf16 default matmuls cost reprojection
-    # accuracy. Hot convs opt into bf16 via --mixed_precision_training.
+    # Precision policy: geometry ops pin f32 explicitly (ops/geometry.py);
+    # convs run at the backend default, opt into bf16 activations via
+    # --mixed_precision_training or force full f32 via --full_precision.
     import jax
 
-    jax.config.update("jax_default_matmul_precision", "highest")
+    if "--full_precision" in sys.argv:
+        jax.config.update("jax_default_matmul_precision", "highest")
     # The environment's sitecustomize force-selects the TPU platform; honor
     # an explicit override (e.g. DVD_PLATFORM=cpu for smoke runs).
     if os.environ.get("DVD_PLATFORM"):

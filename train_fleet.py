@@ -24,7 +24,6 @@ from os.path import join
 def main():
     import jax
 
-    jax.config.update("jax_default_matmul_precision", "highest")
     if os.environ.get("DVD_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
     import numpy as np
