@@ -61,6 +61,10 @@ def main():
     from dynamic_video_depth_tpu.train.loop import Trainer
 
     opt, unique_params = config_mod.parse()
+    if opt.manual_seed is not None:
+        from dynamic_video_depth_tpu.utils.printing import set_manual_seed
+
+        set_manual_seed(opt.manual_seed)
 
     # ---------------------------------------------------------------- logdir
     if opt.full_logdir is None:

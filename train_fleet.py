@@ -48,7 +48,6 @@ def main():
     argv = sys.argv[1:]
     extra = []
     tracks = None
-    it = iter(range(len(argv)))
     i = 0
     while i < len(argv):
         if argv[i] == "--tracks":
