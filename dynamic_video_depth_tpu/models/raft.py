@@ -104,28 +104,48 @@ def correlation_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return pyramid
 
 
+def _tent_weights(centers: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear interpolation weights as a dense tent function.
+
+    ``centers [..., K]`` continuous positions (already border-clamped) ->
+    ``[..., K, size]`` rows of linear-interp weights: ``max(0, 1 - |c - j|)``
+    — exactly the two-tap bilinear weights, built without gathers.
+    """
+    grid = jnp.arange(size, dtype=centers.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(centers[..., None] - grid))
+
+
 def lookup_correlation(pyramid, coords: jnp.ndarray, radius: int = 4):
     """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
 
     coords: ``[B, H, W, 2]`` flow-displaced positions at 1/8 res.
-    Returns ``[B, H, W, num_levels*(2r+1)^2]``.
+    Returns ``[B, H, W, num_levels*(2r+1)^2]`` with window index varying
+    dy-major (matching the official delta ordering).
+
+    TPU-first formulation: bilinear sampling of a (2r+1)^2 window is
+    separable, so instead of per-pixel gathers each level is two batched
+    tiny matmuls with dense tent-function weight rows —
+    ``[K, Hl] @ [Hl, Wl] @ [Wl, K]`` per source pixel — which XLA maps onto
+    the MXU. Equivalent to border-clamped grid_sample (tested).
     """
     b, h, w, _ = coords.shape
+    n = h * w
     r = radius
+    k = 2 * r + 1
+    offsets = jnp.arange(-r, r + 1, dtype=coords.dtype)
     out = []
-    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    dy = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    delta = jnp.stack(jnp.meshgrid(dx, dy, indexing="xy"), axis=-1)  # [2r+1,2r+1,2]
-    delta = delta.reshape(-1, 2)  # [K, 2]
-    k = delta.shape[0]
     for lvl, corr in enumerate(pyramid):
-        # corr: [B, H*W, Hl, Wl]; treat (B*H*W) as batch of [Hl, Wl, 1] maps
-        bl, n, hl, wl = corr.shape
-        cmap = corr.reshape(b * h * w, hl, wl, 1)
-        c = coords.reshape(b * h * w, 1, 1, 2) / (2.0 ** lvl)
-        pts = c + delta.reshape(1, 1, k, 2)  # [BHW, 1, K, 2]
-        sampled = grid_sample(cmap, pts)  # [BHW, 1, K, 1]
-        out.append(sampled.reshape(b, h, w, k))
+        _, _, hl, wl = corr.shape
+        c = coords.reshape(b, n, 2) / (2.0 ** lvl)
+        cy = jnp.clip(c[..., 1:2] + offsets, 0.0, hl - 1)  # [B, N, K]
+        cx = jnp.clip(c[..., 0:1] + offsets, 0.0, wl - 1)
+        wy = _tent_weights(cy, hl)  # [B, N, K, Hl]
+        wx = _tent_weights(cx, wl)  # [B, N, K, Wl]
+        tmp = jnp.einsum("bnkh,bnhw->bnkw", wy, corr,
+                         precision=Precision.HIGHEST)
+        win = jnp.einsum("bnkw,bnlw->bnkl", tmp, wx,
+                         precision=Precision.HIGHEST)
+        out.append(win.reshape(b, h, w, k * k))
     return jnp.concatenate(out, axis=-1)
 
 

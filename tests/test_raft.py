@@ -42,6 +42,34 @@ def test_lookup_correlation_center(rng):
     np.testing.assert_allclose(out[0, ..., 4], self_corr[0], rtol=1e-4, atol=1e-5)
 
 
+def test_lookup_matches_grid_sample(rng):
+    """The separable tent-weight lookup must equal direct border-clamped
+    bilinear sampling of each pixel's correlation map."""
+    from dynamic_video_depth_tpu.ops.grid_sample import grid_sample
+
+    b, h, w, c = 1, 4, 6, 5
+    f1 = rng.randn(b, h, w, c).astype(np.float32)
+    f2 = rng.randn(b, h, w, c).astype(np.float32)
+    pyr = correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2)
+    coords = jnp.asarray((rng.rand(b, h, w, 2) * 8 - 2).astype(np.float32))
+    r = 2
+    ours = np.asarray(lookup_correlation(pyr, coords, radius=r))
+
+    # direct sampling oracle
+    k = 2 * r + 1
+    dx = np.arange(-r, r + 1, dtype=np.float32)
+    delta = np.stack(np.meshgrid(dx, dx, indexing="xy"), -1).reshape(-1, 2)
+    outs = []
+    for lvl, corr in enumerate(pyr):
+        _, n, hl, wl = corr.shape
+        cmap = jnp.asarray(corr).reshape(b * h * w, hl, wl, 1)
+        cc = np.asarray(coords).reshape(b * h * w, 1, 1, 2) / (2.0 ** lvl)
+        pts = jnp.asarray(cc + delta.reshape(1, 1, k * k, 2))
+        outs.append(np.asarray(grid_sample(cmap, pts)).reshape(b, h, w, k * k))
+    ref = np.concatenate(outs, -1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_convex_upsample_uniform_mask(rng):
     """With a uniform mask, upsampling averages the 3x3 neighborhood of the
     scaled coarse flow; constant flow must stay constant * 8."""
