@@ -94,6 +94,22 @@ def pair_batch_from_packed(
     return batch
 
 
+def collate_batches(samples) -> Dict[str, np.ndarray]:
+    """Concatenate same-gap pair batches along the batch axis (the TPU
+    analog of the reference's DataLoader batching; all samples must share
+    the frame gap so the Euler step count stays static)."""
+    out = {}
+    first = samples[0]
+    for key, v0 in first.items():
+        if key == "pair_path":
+            out[key] = [s[key] for s in samples]
+        elif np.ndim(v0) == 0:
+            out[key] = v0
+        else:
+            out[key] = np.concatenate([np.asarray(s[key]) for s in samples], 0)
+    return out
+
+
 def frame_batch_from_npz(
     raw: Dict[str, np.ndarray], idx: int, n_frames: float, unit: float = 1.0
 ) -> Dict[str, np.ndarray]:

@@ -42,6 +42,24 @@ class Trainer:
             order = order[:epoch_batches]
         return order
 
+    def grouped_epoch_order(self, epoch_batches: Optional[int], batch_size: int):
+        """Shuffled groups of ``batch_size`` same-gap sample indices (pairs
+        of one gap share a static Euler step count)."""
+        ds = self.dataset_train
+        by_gap = {}
+        for i in range(len(ds.file_list)):
+            by_gap.setdefault(ds.gap_of(i), []).append(i)
+        groups = []
+        for gap, idxs in by_gap.items():
+            idxs = list(self.rng.permutation(idxs))
+            for k in range(0, len(idxs) - batch_size + 1, batch_size):
+                groups.append(idxs[k:k + batch_size])
+        self.rng.shuffle(groups)
+        if epoch_batches is not None and groups:
+            reps = int(np.ceil(epoch_batches / len(groups)))
+            groups = (groups * reps)[:epoch_batches]
+        return groups
+
     def train(self, start_epoch: int = 1):
         opt = self.opt
         self.logger.set_params({
@@ -74,8 +92,23 @@ class Trainer:
     def _train_epoch_body(self, epoch: int, warm: bool):
         opt = self.opt
         self.logger.on_epoch_begin(epoch)
-        order = self.epoch_order(len(self.dataset_train), opt.epoch_batches)
-        loader = BatchLoader(self.dataset_train, order)
+        batch_size = max(getattr(opt, "batch_size", 1), 1)
+        if batch_size > 1 and not getattr(opt, "no_batching", False):
+            from ..data.batches import collate_batches
+
+            groups = self.grouped_epoch_order(opt.epoch_batches, batch_size)
+
+            class _Grouped:
+                def __init__(self, ds):
+                    self.ds = ds
+
+                def __getitem__(self, group):
+                    return collate_batches([self.ds[i] for i in group])
+
+            loader = BatchLoader(_Grouped(self.dataset_train), groups)
+        else:
+            order = self.epoch_order(len(self.dataset_train), opt.epoch_batches)
+            loader = BatchLoader(self.dataset_train, order)
         t_data = time.time()
         for i, (idx, dev, host) in enumerate(DevicePrefetcher(iter(loader))):
             data_time = time.time() - t_data
