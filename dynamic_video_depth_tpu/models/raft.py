@@ -18,15 +18,10 @@ TPU notes:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.lax import Precision
-
-from ..ops.grid_sample import grid_sample
-from ..ops.resize import resize_bilinear
 
 
 def _conv(features, kernel, stride=1, padding=None, name=None):

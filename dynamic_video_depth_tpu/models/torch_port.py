@@ -28,7 +28,7 @@ from typing import Any, Dict, Mapping
 import numpy as np
 import jax.numpy as jnp
 from flax import traverse_util
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -20,7 +20,7 @@ All matmuls run with float32 accumulation (``preferred_element_type``).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -107,6 +107,11 @@ class LogCumulator(BaseLogger):
 
     def on_epoch_end(self, epoch, logs=None):
         self.epoch_logs = self.get_epoch_logs()
+        # epoch-end logs (validation metrics) ride along with a vali_ prefix,
+        # mirroring the reference's train/vali CSV+TB split
+        for k, v in (logs or {}).items():
+            if k != "size":
+                self.epoch_logs[f"vali_{k}"] = _scalar(v)
 
 
 class ProgbarLogger(BaseLogger):

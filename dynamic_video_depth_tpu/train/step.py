@@ -123,13 +123,16 @@ class SceneFlowMotionFieldStep:
     # ------------------------------------------------------------------ init
 
     def init_state(self, rng: jax.Array, sample_img: jnp.ndarray) -> TrainState:
-        """Initialize parameters from a sample image ``[B, H, W, 3]``."""
+        """Initialize parameters from a sample image ``[B, H, W, 3]``.
+
+        The flax inits run under jit: eager init dispatches hundreds of tiny
+        ops, which is painfully slow through a remote-device tunnel."""
         r1, r2 = jax.random.split(rng)
-        v_depth = self.net_depth.init(r1, sample_img)
+        v_depth = jax.jit(self.net_depth.init)(r1, sample_img)
         b, h, w, _ = sample_img.shape
         pts = jnp.zeros((b, h, w, 3), jnp.float32)
         ts = jnp.zeros((b, h, w, 1), jnp.float32)
-        v_sf = self._init_sf(r2, pts, ts)
+        v_sf = jax.jit(self._init_sf)(r2, pts, ts)
         return TrainState(
             params_depth=v_depth["params"],
             params_sf=v_sf["params"],
