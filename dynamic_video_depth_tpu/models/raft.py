@@ -223,7 +223,8 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     )  # [B, H, W, 9, 2]
     up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, neighbors,
                     precision=Precision.HIGHEST)
-    up = up.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * 8, w * 8, 2)
+    # (b, h, w, u, v, c) -> (b, h, u, w, v, c): row = 8h+u, col = 8w+v
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 8, w * 8, 2)
     return up
 
 
