@@ -85,10 +85,14 @@ class Model:
         if getattr(opt, "full_precision", False):
             compute_dtype = "float32"
         self.cfg = TrainStepConfig(
+            optim=getattr(opt, "optim", "adam"),
             lr=opt.lr,
             scene_lr_mul=opt.scene_lr_mul,
             adam_beta1=getattr(opt, "adam_beta1", 0.5),
             adam_beta2=getattr(opt, "adam_beta2", 0.9),
+            sgd_momentum=getattr(opt, "sgd_momentum", 0.9),
+            sgd_dampening=getattr(opt, "sgd_dampening", 0.0),
+            wdecay=getattr(opt, "wdecay", 0.0),
             midas=opt.midas,
             depth_net=getattr(opt, "depth_net", ""),
             use_cnn=opt.use_cnn,

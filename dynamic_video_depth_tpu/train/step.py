@@ -42,11 +42,15 @@ class TrainStepConfig:
     options/options_train.py:84-90, models/scene_flow_motion_field.py:33-67).
     """
 
-    # optimizer
+    # optimizer (reference: options/options_train.py:84-97)
+    optim: str = "adam"
     lr: float = 1e-6
     scene_lr_mul: float = 1.0
     adam_beta1: float = 0.5
     adam_beta2: float = 0.9
+    sgd_momentum: float = 0.9
+    sgd_dampening: float = 0.0
+    wdecay: float = 0.0
     # nets
     midas: bool = True
     depth_net: str = ""  # '' -> midas flag decides; 'tiny' for tests
@@ -116,9 +120,25 @@ class SceneFlowMotionFieldStep:
                 time_dependent=cfg.time_dependent,
                 n_freq_xyz=cfg.n_freq_xyz, n_freq_t=cfg.n_freq_t,
             )
-        betas = dict(b1=cfg.adam_beta1, b2=cfg.adam_beta2)
-        self.tx_depth = optax.adam(cfg.lr, **betas)
-        self.tx_sf = optax.adam(cfg.lr * cfg.scene_lr_mul, **betas)
+        def make_tx(lr):
+            if cfg.optim == "adam":
+                return optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2)
+            if cfg.optim == "sgd":
+                # torch SGD semantics: momentum buffer with dampening,
+                # optional L2 weight decay folded into the gradient
+                chain = []
+                if cfg.wdecay > 0:
+                    chain.append(optax.add_decayed_weights(cfg.wdecay))
+                if cfg.sgd_momentum > 0:
+                    chain.append(optax.trace(decay=cfg.sgd_momentum,
+                                             nesterov=False,
+                                             accumulator_dtype=None))
+                chain.append(optax.scale(-lr))
+                return optax.chain(*chain)
+            raise NotImplementedError(f"optimizer {cfg.optim}")
+
+        self.tx_depth = make_tx(cfg.lr)
+        self.tx_sf = make_tx(cfg.lr * cfg.scene_lr_mul)
 
     # ------------------------------------------------------------------ init
 
