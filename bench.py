@@ -25,7 +25,20 @@ REFERENCE_STEP_MS = 360.0
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: per-(gap, warm) step variants compile
+    # once per machine, not once per process (remote compiles are minutes).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         os.path.expanduser("~/.cache/jax_dvd")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
     from __graft_entry__ import _synthetic_batch
     from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig

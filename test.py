@@ -19,6 +19,16 @@ def main():
 
     if os.environ.get("DVD_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
+    # Persistent compilation cache: per-(gap, warm) step variants compile
+    # once per machine, not once per process (remote compiles are minutes).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         os.path.expanduser("~/.cache/jax_dvd")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import numpy as np
 
     from dynamic_video_depth_tpu.data import get_dataset
