@@ -9,6 +9,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host runtime init (replaces the reference's
+    torch.distributed.init_process_group TCP rendezvous, train.py:138).
+
+    On TPU pods the arguments are discovered from the environment; pass them
+    explicitly only for CPU/GPU clusters. Safe to call once per process
+    before any jax computation; no-op if already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
 def make_mesh(axes: Sequence[Tuple[str, int]], devices=None) -> Mesh:
     """Build a mesh from (name, size) axes over the given (or all) devices.
 
