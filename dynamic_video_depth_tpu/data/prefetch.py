@@ -65,6 +65,42 @@ class BatchLoader:
             stop.set()
 
 
+class DeviceCache:
+    """Pins converted batches in device memory, keyed by sample index.
+
+    Per-video optimization reuses a small fixed set of pair batches for 40k
+    steps; keeping them HBM-resident removes all steady-state host->device
+    traffic (the packed set for a DAVIS track is ~1 GB vs 16 GB HBM).
+    """
+
+    def __init__(self, dataset, device: Optional[jax.Device] = None,
+                 max_bytes: float = 8e9):
+        self.dataset = dataset
+        self.device = device
+        self.max_bytes = max_bytes
+        self._cache: Dict = {}
+        self._bytes = 0
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        key = tuple(idx) if isinstance(idx, (list, np.ndarray)) else idx
+        if key in self._cache:
+            return self._cache[key]
+        batch = self.dataset[idx]
+        dev = {
+            k: (jax.device_put(np.asarray(v), self.device)
+                if k not in _HOST_KEYS_SKIP else v)
+            for k, v in batch.items()
+        }
+        size = sum(getattr(v, "nbytes", 0) for v in dev.values())
+        if self._bytes + size <= self.max_bytes:
+            self._cache[key] = dev
+            self._bytes += size
+        return dev
+
+
 class DevicePrefetcher:
     """Wraps an iterator of numpy batches with one-step-ahead device_put."""
 

@@ -93,6 +93,9 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--test_template", type=str, default=None)
     a("--profile_dir", type=str, default=None,
       help="write a jax.profiler trace of the first training epoch here")
+    a("--no_device_cache", action="store_true",
+      help="stream batches host->device every step instead of pinning the "
+           "video's packed batches in HBM")
     return parser, unique_params
 
 

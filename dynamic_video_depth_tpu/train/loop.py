@@ -14,12 +14,33 @@ from typing import Optional
 
 import numpy as np
 
-from ..data.prefetch import BatchLoader, DevicePrefetcher
+from ..data.batches import collate_batches
+from ..data.prefetch import BatchLoader, DeviceCache, DevicePrefetcher
 from ..runtime.loggers import ComposeLogger, LogCumulator
 
 
+class _GroupedDataset:
+    """Indexable view collating fixed groups of same-gap samples."""
+
+    def __init__(self, ds, groups):
+        self.ds = ds
+        self.groups = groups
+
+    def __len__(self):
+        return len(self.groups)
+
+    def __getitem__(self, gi: int):
+        return collate_batches([self.ds[i] for i in self.groups[gi]])
+
+
 class Trainer:
-    """Drives per-video optimization epochs."""
+    """Drives per-video optimization epochs.
+
+    Device caching: per-video optimization reuses a small fixed set of pair
+    batches for the whole 40k-step schedule, so converted batches are pinned
+    in HBM after first touch (``--no_device_cache`` streams instead). With
+    batching, the same-gap groups are a fixed partition whose order
+    reshuffles per epoch (so cached group batches stay reusable)."""
 
     def __init__(self, model, dataset_train, dataset_vali, logger: ComposeLogger,
                  opt, visualize_fn=None):
@@ -33,6 +54,29 @@ class Trainer:
         self.rng = np.random.RandomState(
             opt.manual_seed if opt.manual_seed is not None else 0
         )
+        batch_size = max(getattr(opt, "batch_size", 1), 1)
+        if batch_size > 1 and not getattr(opt, "no_batching", False):
+            groups = self._fixed_groups(batch_size)
+            self._train_source = _GroupedDataset(dataset_train, groups)
+        else:
+            self._train_source = dataset_train
+        self._use_device_cache = not getattr(opt, "no_device_cache", False)
+        if self._use_device_cache:
+            self._train_source = DeviceCache(self._train_source)
+            if dataset_vali is not None:
+                self.dataset_vali = DeviceCache(dataset_vali)
+
+    def _fixed_groups(self, batch_size: int):
+        ds = self.dataset_train
+        by_gap = {}
+        for i in range(len(ds.file_list)):
+            by_gap.setdefault(ds.gap_of(i), []).append(i)
+        groups = []
+        for gap, idxs in sorted(by_gap.items()):
+            idxs = list(self.rng.permutation(idxs))
+            for k in range(0, len(idxs) - batch_size + 1, batch_size):
+                groups.append(tuple(idxs[k:k + batch_size]))
+        return groups
 
     def epoch_order(self, n: int, epoch_batches: Optional[int]):
         order = self.rng.permutation(n)
@@ -41,24 +85,6 @@ class Trainer:
             order = np.concatenate([self.rng.permutation(n) for _ in range(reps)])
             order = order[:epoch_batches]
         return order
-
-    def grouped_epoch_order(self, epoch_batches: Optional[int], batch_size: int):
-        """Shuffled groups of ``batch_size`` same-gap sample indices (pairs
-        of one gap share a static Euler step count)."""
-        ds = self.dataset_train
-        by_gap = {}
-        for i in range(len(ds.file_list)):
-            by_gap.setdefault(ds.gap_of(i), []).append(i)
-        groups = []
-        for gap, idxs in by_gap.items():
-            idxs = list(self.rng.permutation(idxs))
-            for k in range(0, len(idxs) - batch_size + 1, batch_size):
-                groups.append(idxs[k:k + batch_size])
-        self.rng.shuffle(groups)
-        if epoch_batches is not None and groups:
-            reps = int(np.ceil(epoch_batches / len(groups)))
-            groups = (groups * reps)[:epoch_batches]
-        return groups
 
     def train(self, start_epoch: int = 1):
         opt = self.opt
@@ -92,25 +118,12 @@ class Trainer:
     def _train_epoch_body(self, epoch: int, warm: bool):
         opt = self.opt
         self.logger.on_epoch_begin(epoch)
-        batch_size = max(getattr(opt, "batch_size", 1), 1)
-        if batch_size > 1 and not getattr(opt, "no_batching", False):
-            from ..data.batches import collate_batches
-
-            groups = self.grouped_epoch_order(opt.epoch_batches, batch_size)
-
-            class _Grouped:
-                def __init__(self, ds):
-                    self.ds = ds
-
-                def __getitem__(self, group):
-                    return collate_batches([self.ds[i] for i in group])
-
-            loader = BatchLoader(_Grouped(self.dataset_train), groups)
-        else:
-            order = self.epoch_order(len(self.dataset_train), opt.epoch_batches)
-            loader = BatchLoader(self.dataset_train, order)
+        source = self._train_source
+        n = (len(source.dataset) if isinstance(source, DeviceCache)
+             else len(source))
+        order = self.epoch_order(n, opt.epoch_batches)
         t_data = time.time()
-        for i, (idx, dev, host) in enumerate(DevicePrefetcher(iter(loader))):
+        for i, (idx, dev, host) in enumerate(self._iter_batches(source, order)):
             data_time = time.time() - t_data
             logs = self.model.train_on_batch(epoch, i, dev, warm=warm)
             logs["data_time"] = data_time
@@ -118,6 +131,19 @@ class Trainer:
             if self.visualize_fn is not None:
                 self.visualize_fn("train", epoch, i, dev, host)
             t_data = time.time()
+
+    @staticmethod
+    def _iter_batches(source, order):
+        """Yield (idx, device_batch, host_extras). Device-cached sources put
+        batches on device inside the background loader thread; streaming
+        sources go through the one-ahead prefetcher."""
+        if isinstance(source, DeviceCache):
+            for idx, batch in BatchLoader(source, order):
+                host = {k: v for k, v in batch.items() if k == "pair_path"}
+                dev = {k: v for k, v in batch.items() if k != "pair_path"}
+                yield idx, dev, host
+        else:
+            yield from DevicePrefetcher(iter(BatchLoader(source, order)))
 
     def _vali(self, epoch: int):
         opt = self.opt
@@ -127,8 +153,7 @@ class Trainer:
         if opt.vali_batches is not None:
             n = min(n, opt.vali_batches)
         losses, sizes = [], []
-        loader = BatchLoader(self.dataset_vali, range(n))
-        for idx, dev, host in DevicePrefetcher(iter(loader)):
+        for idx, dev, host in self._iter_batches(self.dataset_vali, range(n)):
             logs = self.model.vali_on_batch(epoch, idx, dev)
             losses.append(float(logs["loss"]))
             sizes.append(int(logs.get("size", 1)))

@@ -160,12 +160,15 @@ class Model:
     # ------------------------------------------------------------------ steps
 
     @staticmethod
-    def batch_steps(batch: Dict, unit: float = 1.0) -> int:
-        """Static Euler step count = frame gap (reference:
-        models/scene_flow_motion_field.py:247-249)."""
-        fid1 = np.asarray(batch["frame_id_1"]).reshape(-1)[0]
-        fid2 = np.asarray(batch["frame_id_2"]).reshape(-1)[0]
-        return max(int(round(abs(float(fid2 - fid1)) / unit)), 1)
+    def batch_steps(batch: Dict) -> int:
+        """Static Euler step count = round(mean(ts2 - ts1) / time_step)
+        (reference: models/scene_flow_motion_field.py:247-249) — this honors
+        the --subsample time unit. Host-syncs three scalars, which the
+        prefetcher has already materialized."""
+        ts1 = float(np.asarray(batch["time_stamp_1"]).ravel()[0])
+        ts2 = float(np.asarray(batch["time_stamp_2"]).ravel()[0])
+        dt = float(np.asarray(batch["time_step"]))
+        return max(int(round(abs(ts2 - ts1) / dt)), 1)
 
     def train_on_batch(self, epoch: int, batch_idx: int, batch: Dict,
                        warm: Optional[bool] = None) -> Dict:
