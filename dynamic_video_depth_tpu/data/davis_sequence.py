@@ -86,6 +86,8 @@ class Dataset(BaseDataset):
         if self.mode == "train":
             raw = load_packed_pt(path)
             batch = pair_batch_from_packed(raw, self.n_frames, self.unit)
+            # host-side Euler step count: avoids a device roundtrip per step
+            batch["steps"] = max(int(round(self.gap_of(idx) / self.unit)), 1)
         else:
             raw = dict(np.load(path, allow_pickle=True))
             batch = frame_batch_from_npz(raw, idx, self.n_frames, self.unit)

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
-_HOST_KEYS_SKIP = ("pair_path",)
+_HOST_KEYS_SKIP = ("pair_path", "steps")
 
 
 def split_host_device(batch: Dict) -> Dict:

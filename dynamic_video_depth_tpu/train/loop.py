@@ -123,24 +123,54 @@ class Trainer:
              else len(source))
         order = self.epoch_order(n, opt.epoch_batches)
         t_data = time.time()
+        # Per-step metrics are fetched ONE STEP BEHIND via async host copies:
+        # a synchronous read per scalar would stall the dispatch queue on a
+        # device roundtrip (dominant at ms-scale steps).
+        pending = None
         for i, (idx, dev, host) in enumerate(self._iter_batches(source, order)):
             data_time = time.time() - t_data
-            logs = self.model.train_on_batch(epoch, i, dev, warm=warm)
-            logs["data_time"] = data_time
-            self.logger.on_batch_end(i, logs)
+            logs = self.model.train_on_batch(epoch, i, dev, warm=warm,
+                                             steps=host.get("steps"))
+            packed = logs.pop("_packed", None)
+            if packed is not None:
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                entry = (i, packed, sorted(k for k in logs if k != "size"),
+                         logs["size"], data_time)
+                if pending is not None:
+                    self._flush_logs(pending)
+                pending = entry
+            else:
+                logs["data_time"] = data_time
+                self.logger.on_batch_end(i, logs)
             if self.visualize_fn is not None:
                 self.visualize_fn("train", epoch, i, dev, host)
             t_data = time.time()
+        if pending is not None:
+            self._flush_logs(pending)
+
+    def _flush_logs(self, entry):
+        i, packed, keys, size, data_time = entry
+        vals = np.asarray(packed)
+        logs = dict(zip(keys, vals))
+        logs["size"] = size
+        logs["data_time"] = data_time
+        self.logger.on_batch_end(i, logs)
 
     @staticmethod
     def _iter_batches(source, order):
         """Yield (idx, device_batch, host_extras). Device-cached sources put
         batches on device inside the background loader thread; streaming
         sources go through the one-ahead prefetcher."""
+        from ..data.prefetch import _HOST_KEYS_SKIP
+
         if isinstance(source, DeviceCache):
             for idx, batch in BatchLoader(source, order):
-                host = {k: v for k, v in batch.items() if k == "pair_path"}
-                dev = {k: v for k, v in batch.items() if k != "pair_path"}
+                host = {k: v for k, v in batch.items() if k in _HOST_KEYS_SKIP}
+                dev = {k: v for k, v in batch.items()
+                       if k not in _HOST_KEYS_SKIP}
                 yield idx, dev, host
         else:
             yield from DevicePrefetcher(iter(BatchLoader(source, order)))

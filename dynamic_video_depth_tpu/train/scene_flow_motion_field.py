@@ -171,12 +171,17 @@ class Model:
         return max(int(round(abs(ts2 - ts1) / dt)), 1)
 
     def train_on_batch(self, epoch: int, batch_idx: int, batch: Dict,
-                       warm: Optional[bool] = None) -> Dict:
+                       warm: Optional[bool] = None,
+                       steps: Optional[int] = None) -> Dict:
         if warm is None:
             warm = epoch <= getattr(self.opt, "warm_sf", 0)
-        steps = self.batch_steps(batch)
+        if steps is None:
+            steps = batch.pop("steps", None)
+        if steps is None:
+            steps = self.batch_steps(batch)
+        batch = {k: v for k, v in batch.items() if k != "steps"}
         self.state, logs = self.step.train_step(
-            self.state, batch, steps=steps, warm=bool(warm)
+            self.state, batch, steps=int(steps), warm=bool(warm)
         )
         logs["size"] = int(batch["img_1"].shape[0])
         return logs

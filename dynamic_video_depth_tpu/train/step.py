@@ -321,6 +321,9 @@ class SceneFlowMotionFieldStep:
         (_, logs), (g_depth, g_sf) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params_depth, state.params_sf)
+        # one packed vector so the host can fetch ALL step metrics in a
+        # single (async) transfer instead of one roundtrip per scalar
+        logs["_packed"] = jnp.stack([logs[k] for k in sorted(logs)])
 
         upd_sf, opt_sf = self.tx_sf.update(g_sf, state.opt_sf, state.params_sf)
         params_sf = optax.apply_updates(state.params_sf, upd_sf)

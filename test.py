@@ -93,6 +93,12 @@ def main():
     test_loss /= max(len(dataset), 1)
     print(f"disparity loss vs init: {test_loss:.6g}")
 
+    from dynamic_video_depth_tpu.utils.metrics import depth_metrics
+
+    metrics = depth_metrics(np.stack(depth_pred), np.stack(depth_gt))
+    print("depth metrics vs gt:",
+          " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+
     # ------------------------------------------------- comparison rendering
     import matplotlib
 

@@ -142,7 +142,7 @@ def main():
                                             steps=int(round(gap / datasets[0].unit)),
                                             warm=warm)
             mean_logs = {k: float(np.mean(np.asarray(v)))
-                         for k, v in logs.items()}
+                         for k, v in logs.items() if k != "_packed"}
             mean_logs["size"] = n_videos
             logger.on_batch_end(it_, mean_logs)
         cum.on_epoch_end(epoch)
