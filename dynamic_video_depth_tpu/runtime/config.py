@@ -96,6 +96,9 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--no_device_cache", action="store_true",
       help="stream batches host->device every step instead of pinning the "
            "video's packed batches in HBM")
+    a("--steps_per_dispatch", type=int, default=1,
+      help="run K optimization steps per jitted dispatch (lax.scan over "
+           "stacked same-gap batches); amortizes host dispatch latency")
     return parser, unique_params
 
 

@@ -33,6 +33,31 @@ class _GroupedDataset:
         return collate_batches([self.ds[i] for i in self.groups[gi]])
 
 
+class _ChunkedDataset:
+    """Indexable view stacking K same-gap samples along a NEW leading axis
+    for multi-step-per-dispatch training (leaves become ``[K, B, ...]``)."""
+
+    def __init__(self, ds, chunks):
+        self.ds = ds
+        self.chunks = chunks
+
+    def __len__(self):
+        return len(self.chunks)
+
+    def __getitem__(self, ci: int):
+        samples = [self.ds[i] for i in self.chunks[ci]]
+        out = {}
+        for k, v0 in samples[0].items():
+            if k == "pair_path":
+                out[k] = [s[k] for s in samples]
+            elif k == "steps" or np.ndim(v0) == 0:
+                out[k] = np.stack([np.asarray(s[k]) for s in samples]) \
+                    if k == "time_step" else v0
+            else:
+                out[k] = np.stack([np.asarray(s[k]) for s in samples])
+        return out
+
+
 class Trainer:
     """Drives per-video optimization epochs.
 
@@ -60,11 +85,39 @@ class Trainer:
             self._train_source = _GroupedDataset(dataset_train, groups)
         else:
             self._train_source = dataset_train
+        self.steps_per_dispatch = max(
+            getattr(opt, "steps_per_dispatch", 1) or 1, 1
+        )
+        if self.steps_per_dispatch > 1:
+            chunks = self._fixed_chunks(self._train_source,
+                                        self.steps_per_dispatch)
+            self._train_source = _ChunkedDataset(self._train_source, chunks)
         self._use_device_cache = not getattr(opt, "no_device_cache", False)
         if self._use_device_cache:
             self._train_source = DeviceCache(self._train_source)
             if dataset_vali is not None:
                 self.dataset_vali = DeviceCache(dataset_vali)
+
+    def _fixed_chunks(self, source, k: int):
+        """Fixed partition of same-gap sample indices into chunks of k."""
+        if isinstance(source, _GroupedDataset):
+            gap_of = lambda gi: source.ds.gap_of(source.groups[gi][0])
+            n = len(source)
+        else:
+            gap_of = source.gap_of
+            n = len(source.file_list)
+        by_gap = {}
+        for i in range(n):
+            by_gap.setdefault(gap_of(i), []).append(i)
+        chunks = []
+        for gap, idxs in sorted(by_gap.items()):
+            idxs = list(self.rng.permutation(idxs))
+            # wrap so every sample appears; last chunk reuses early samples
+            while len(idxs) % k:
+                idxs.append(idxs[len(idxs) % k])
+            for j in range(0, len(idxs), k):
+                chunks.append(tuple(idxs[j:j + k]))
+        return chunks
 
     def _fixed_groups(self, batch_size: int):
         ds = self.dataset_train
@@ -119,8 +172,10 @@ class Trainer:
         opt = self.opt
         self.logger.on_epoch_begin(epoch)
         source = self._train_source
-        n = (len(source.dataset) if isinstance(source, DeviceCache)
-             else len(source))
+        base = source.dataset if isinstance(source, DeviceCache) else source
+        n = len(base)
+        if self.steps_per_dispatch > 1:
+            return self._train_epoch_chunked(epoch, warm, source, n)
         order = self.epoch_order(n, opt.epoch_batches)
         t_data = time.time()
         # Per-step metrics are fetched ONE STEP BEHIND via async host copies:
@@ -150,6 +205,48 @@ class Trainer:
             t_data = time.time()
         if pending is not None:
             self._flush_logs(pending)
+
+    def _train_epoch_chunked(self, epoch: int, warm: bool, source, n: int):
+        """Multi-step-per-dispatch epoch: each iteration runs K optimization
+        steps inside one jitted lax.scan call."""
+        opt = self.opt
+        k = self.steps_per_dispatch
+        n_chunks = ((opt.epoch_batches + k - 1) // k
+                    if opt.epoch_batches else n)
+        order = self.epoch_order(n, n_chunks)
+        pending = None
+        step_idx = 0
+        t_data = time.time()
+        for ci, (idx, dev, host) in enumerate(
+            self._iter_batches(source, order)
+        ):
+            data_time = time.time() - t_data
+            packed = self.model.train_on_chunk(
+                epoch, dev, steps=host.get("steps", 1), warm=warm
+            )
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            keys = sorted(self.model.metrics_packed)
+            size = int(dev["img_1"].shape[1])
+            entry = (step_idx, packed, keys, size, data_time, k)
+            if pending is not None:
+                self._flush_chunk_logs(pending)
+            pending = entry
+            step_idx += k
+            t_data = time.time()
+        if pending is not None:
+            self._flush_chunk_logs(pending)
+
+    def _flush_chunk_logs(self, entry):
+        start, packed, keys, size, data_time, k = entry
+        vals = np.asarray(packed)  # [K, n_metrics]
+        for j in range(vals.shape[0]):
+            logs = dict(zip(keys, vals[j]))
+            logs["size"] = size
+            logs["data_time"] = data_time if j == 0 else 0.0
+            self.logger.on_batch_end(start + j, logs)
 
     def _flush_logs(self, entry):
         i, packed, keys, size, data_time = entry

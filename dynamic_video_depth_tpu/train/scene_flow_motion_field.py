@@ -75,6 +75,9 @@ class Model:
 
     metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
                "acc_reg", "sf_loss"]
+    # metric keys packed into the step's single fetched vector (sorted order)
+    metrics_packed = ["acc_reg", "disp_loss_1_2", "flow_loss_1_2", "loss",
+                      "sf_loss"]
 
     def __init__(self, opt, logger=None):
         self.opt = opt
@@ -185,6 +188,19 @@ class Model:
         )
         logs["size"] = int(batch["img_1"].shape[0])
         return logs
+
+    def train_on_chunk(self, epoch: int, batches: Dict, steps: int,
+                       warm: Optional[bool] = None):
+        """K lockstep optimization steps in one dispatch (leaves [K, B, ...]).
+        Returns packed per-step metrics [K, n] (fetch asynchronously)."""
+        if warm is None:
+            warm = epoch <= getattr(self.opt, "warm_sf", 0)
+        batches = {k: v for k, v in batches.items()
+                   if k not in ("steps", "pair_path")}
+        self.state, packed = self.step.train_step_scan(
+            self.state, batches, steps=int(steps), warm=bool(warm)
+        )
+        return packed
 
     def vali_on_batch(self, epoch: int, batch_idx: int, batch: Dict) -> Dict:
         pred, logs = self.step.vali_step(self.state, batch)

@@ -347,6 +347,22 @@ class SceneFlowMotionFieldStep:
 
     # ------------------------------------------------------- vali/test steps
 
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+             donate_argnames=("state",))
+    def train_step_scan(self, state: TrainState,
+                        batches: Dict[str, jnp.ndarray], steps: int,
+                        warm: bool):
+        """K optimization steps in ONE dispatch via lax.scan over stacked
+        same-gap batches (leaves ``[K, B, ...]``). Amortizes per-call
+        dispatch latency — decisive on remote-attached devices, harmless
+        locally. Returns (state, packed_logs [K, n_metrics])."""
+
+        def body(s, b):
+            s2, logs = self.train_step_impl(s, b, steps, warm)
+            return s2, logs["_packed"]
+
+        return jax.lax.scan(body, state, batches)
+
     @partial(jax.jit, static_argnames=("self", "steps"))
     def forward_vis(self, state: TrainState, batch: Dict[str, jnp.ndarray],
                     steps: int):
