@@ -46,6 +46,53 @@ def load_state(path: str, template: Any) -> Tuple[Any, Dict]:
     return state, meta
 
 
+class AsyncSaver:
+    """Single-worker background checkpoint writer.
+
+    Device->host fetch + serialization of a 1.3 GB MiDaS state blocks the
+    step loop for seconds per epoch; the saver snapshots on a worker thread.
+    If a save is still in flight when the next lands, the pending one is
+    replaced (periodic checkpoints are idempotent); ``flush()`` drains."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=1)
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+        self._idle = threading.Event()
+        self._idle.set()
+
+    def _worker(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            path, state, epoch, best, extra = job
+            try:
+                save_state(path, state, epoch=epoch, best=best, extra=extra)
+            except Exception as e:  # surface without killing the loop
+                print(f"Warning: async checkpoint save failed: {e}")
+            finally:
+                self._idle.set()
+                self._q.task_done()
+
+    def save(self, path, state, epoch=0, best=float("inf"), extra=None):
+        import queue
+
+        self._idle.clear()
+        try:
+            self._q.put_nowait((path, state, epoch, best, extra))
+        except queue.Full:
+            # previous save still pending; wait for the slot (best.ckpt and
+            # nets/%04d must not be dropped)
+            self._q.put((path, state, epoch, best, extra))
+
+    def flush(self):
+        self._q.join()
+
+
 def save_opt(logdir: str, opt) -> None:
     """Config snapshot (reference saves opt.pt + opt.txt, train.py:93-96)."""
     os.makedirs(logdir, exist_ok=True)

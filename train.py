@@ -133,8 +133,15 @@ def main():
         print(f"Resumed from {resume_path} at epoch {start_epoch - 1}")
 
     # ----------------------------------------------------------- checkpoints
+    from dynamic_video_depth_tpu.runtime.checkpoint import AsyncSaver
+
+    saver = AsyncSaver()
+    # one-dispatch device-side copy: the training step donates its input
+    # state buffers, so the async writer must fetch from an undonated copy
+    snapshot = jax.jit(lambda s: jax.tree.map(jax.numpy.copy, s))
+
     def save_fn(path, epoch=0, best=float("inf")):
-        save_state(path, model.state, epoch=epoch, best=best)
+        saver.save(path, snapshot(model.state), epoch=epoch, best=best)
 
     logger.add_logger(
         ModelSaveLogger(save_fn, join(opt.full_logdir, "checkpoint.ckpt"),
@@ -179,6 +186,7 @@ def main():
                       visualize_fn=visualize_fn)
     trainer.train(start_epoch=start_epoch)
     visualizer.close()
+    saver.flush()
 
     # -------------------------------------------------- chained test template
     if opt.test_template and os.path.isfile(opt.test_template):
