@@ -227,14 +227,19 @@ class SceneFlowMotionFieldStep:
         """Euler integration across the frame gap (reference:
         forward_sf_net_multi_step, models/scene_flow_motion_field.py:360-367).
         ``steps`` is static; the unrolled chain is a sequence of MXU matmuls
-        XLA pipelines back-to-back."""
+        XLA pipelines back-to-back. Also returns the first evaluation — the
+        acceleration regularizer queries the field at exactly (p1, t1)
+        (reference recomputes it, :329; the expressions are identical)."""
         sf_acc = jnp.zeros_like(pts)
+        first_sf = None
         for _ in range(steps):
             sf = self._apply_sf(params_sf, pts, ts)
+            if first_sf is None:
+                first_sf = sf
             sf_acc = sf_acc + sf
             pts = pts + sf
             ts = ts + time_step
-        return sf_acc
+        return sf_acc, first_sf
 
     # ------------------------------------------------------------ train step
 
@@ -254,7 +259,7 @@ class SceneFlowMotionFieldStep:
         global_p1 = dflow["global_p1"]
 
         time_step = batch["time_step"]
-        sf_1_2 = self._sf_multi_step(
+        sf_1_2, first_sf = self._sf_multi_step(
             params_sf, global_p1, batch["time_stamp_1"], time_step, steps
         )
         if self.cfg.use_motion_seg:
@@ -266,11 +271,15 @@ class SceneFlowMotionFieldStep:
         pred["sf_1_2"] = sf_1_2
         pred["sf_by_dep_1_2"] = dflow["sf_by_depth"]
         pred["global_p1"] = global_p1
+        pred["_first_sf"] = first_sf
         return pred
 
-    def _acc_reg(self, params_sf, global_p1, ts, time_step):
-        """(reference: _opt_reg, models/scene_flow_motion_field.py:326-344)."""
-        sf0 = self._apply_sf(params_sf, global_p1, ts)
+    def _acc_reg(self, params_sf, global_p1, ts, time_step, sf0=None):
+        """(reference: _opt_reg, models/scene_flow_motion_field.py:326-344).
+        ``sf0`` (the field at (p1, t1)) is reused from the Euler integration
+        when available instead of re-evaluating."""
+        if sf0 is None:
+            sf0 = self._apply_sf(params_sf, global_p1, ts)
         sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
         return self.cfg.loss.acc_mul * jnp.mean(jnp.abs(sf1 - sf0))
 
@@ -278,6 +287,7 @@ class SceneFlowMotionFieldStep:
                       steps: int, warm: bool):
         cfg = self.cfg.loss
         pred = self._forward(params_depth, params_sf, stats_depth, batch, steps)
+        first_sf = pred.pop("_first_sf", None)
         main, logs = consistency_losses(
             pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
         )
@@ -289,7 +299,7 @@ class SceneFlowMotionFieldStep:
         if use_reg:
             reg = self._acc_reg(
                 params_sf, pred["global_p1"], batch["time_stamp_1"],
-                batch["time_step"],
+                batch["time_step"], sf0=first_sf,
             )
             total = total + reg
             logs["acc_reg"] = reg
