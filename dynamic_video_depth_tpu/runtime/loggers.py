@@ -338,12 +338,16 @@ class HtmlLogger(BaseLogger):
         self.history.append(entry)
         with open(join(self.logdir, "progress.json"), "w") as f:
             json.dump(self.history, f, indent=1)
+        # stable column order across epochs: union of keys, epoch first
+        cols = ["epoch"] + sorted(
+            {k for e in self.history for k in e} - {"epoch"}
+        )
         rows = "".join(
-            "<tr>" + "".join(f"<td>{e.get(k, '')}</td>" for k in entry)
+            "<tr>" + "".join(f"<td>{e.get(k, '')}</td>" for k in cols)
             + "</tr>"
             for e in self.history
         )
-        header = "".join(f"<th>{k}</th>" for k in entry)
+        header = "".join(f"<th>{k}</th>" for k in cols)
         with open(join(self.logdir, "progress.html"), "w") as f:
             f.write(
                 "<html><body><table border=1>"
