@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bicubic, upsample2x_bilinear
@@ -143,15 +144,23 @@ class MidasNet(nn.Module):
     Input ``[B, H, W, 3]`` RGB in [0, 1]; output ``[B, H, W]`` depth via
     ``10000 / clamp(inv_depth, 1e-2)``. H and W must be multiples of 32
     (guaranteed by the preprocessing resize).
+
+    ``mask_branch``/``freeze_backbone`` reproduce the MidasNet_mod variant
+    (reference: third_party/MiDaS.py:44-161): an extra sigmoid mask head on
+    the decoder, and a backbone behind stop_gradient (the functional analog
+    of requires_grad=False). With ``mask_branch`` the module returns
+    ``(depth, mask)``.
     """
 
     features: int = 256
     non_negative: bool = True
     normalize_input: bool = False
     resize: Optional[Tuple[int, int]] = None
+    mask_branch: bool = False
+    freeze_backbone: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         if self.normalize_input:
             mean = jnp.asarray(_IMAGENET_MEAN, dtype=x.dtype)
             std = jnp.asarray(_IMAGENET_STD, dtype=x.dtype)
@@ -162,6 +171,8 @@ class MidasNet(nn.Module):
             x = resize_bicubic(x, self.resize, align_corners=True)
 
         l1, l2, l3, l4 = ResNeXt101Backbone(name="pretrained")(x)
+        if self.freeze_backbone:
+            l1, l2, l3, l4 = jax.lax.stop_gradient((l1, l2, l3, l4))
 
         f = self.features
         l1_rn = _conv(f, 3, padding=1, use_bias=False, name="scratch__layer1_rn")(l1)
@@ -184,6 +195,18 @@ class MidasNet(nn.Module):
 
         out = jnp.clip(out, min=1e-2)
         out = 10000.0 / out
+
+        if self.mask_branch:
+            m = _conv(128, 3, padding=1, name="scratch__output_conv_mask__0")(path1)
+            m = upsample2x_bilinear(m, align_corners=False)
+            m = _conv(32, 3, padding=1, name="scratch__output_conv_mask__2")(m)
+            m = nn.relu(m)
+            m = _conv(1, 1, name="scratch__output_conv_mask__4")(m)
+            mask = nn.sigmoid(m)
+            if self.resize is not None:
+                out = resize_bicubic(out, orig_hw, align_corners=True)
+                mask = resize_bicubic(mask, orig_hw, align_corners=True)
+            return out[..., 0], mask[..., 0]
 
         if self.resize is not None:
             out = resize_bicubic(out, orig_hw, align_corners=True)

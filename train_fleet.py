@@ -83,13 +83,14 @@ def main():
     # per-track datasets + models (sharing one compiled step via the fleet)
     import copy
 
-    models, datasets = [], []
+    models, datasets, vali_sets = [], [], []
     for t in tracks:
         o = copy.deepcopy(opt)
         o.track_id = t
         m = Model(o, None)
         models.append(m)
         datasets.append(Dataset(o, mode="train", model=m))
+        vali_sets.append(Dataset(o, mode="vali", model=m))
     base = models[0]
 
     mesh = make_mesh([("video", n_videos)])
@@ -123,6 +124,7 @@ def main():
 
     orders = [gap_orders(ds) for ds in datasets]
     gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
+    best_vali = [float("inf")] * n_videos
 
     for epoch in range(1, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
@@ -145,14 +147,31 @@ def main():
                          for k, v in logs.items() if k != "_packed"}
             mean_logs["size"] = n_videos
             logger.on_batch_end(it_, mean_logs)
-        cum.on_epoch_end(epoch)
-        logger.on_epoch_end(epoch, cum.epoch_logs)
+        # lockstep per-video validation (masked disparity MSE, reference's
+        # model-selection metric) over the common frame count
+        n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
+        vali_losses = np.zeros(n_videos)
+        for fi in range(n_vali):
+            vbatches = [
+                {k: jax.numpy.asarray(v) for k, v in vs[fi].items()
+                 if k not in ("pair_path", "steps")}
+                for vs in vali_sets
+            ]
+            _, vlogs = fleet.vali_step(states, tree_stack(vbatches))
+            vali_losses += np.asarray(vlogs["loss"]) / max(n_vali, 1)
 
-        # per-video checkpoints
+        logger.on_epoch_end(epoch, {"loss": float(np.mean(vali_losses))})
+
+        # per-video checkpoints + best-on-vali
+        host_states = jax.device_get(states)
         for vi, t in enumerate(tracks):
-            state_i = tree_index(jax.device_get(states), vi)
+            state_i = tree_index(host_states, vi)
             save_state(join(logdir, t, "checkpoint.ckpt"), state_i,
                        epoch=epoch)
+            if vali_losses[vi] < best_vali[vi]:
+                best_vali[vi] = float(vali_losses[vi])
+                save_state(join(logdir, t, "best.ckpt"), state_i,
+                           epoch=epoch, best=best_vali[vi])
     logger.on_train_end()
     print(f"fleet of {n_videos} videos done; checkpoints under {logdir}/<track>/")
 
