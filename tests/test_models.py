@@ -134,6 +134,38 @@ def test_midas_matches_reference(rng):
 
 
 @needs_reference
+def test_midas_mod_mask_branch_matches_reference(rng):
+    import torch
+
+    from torch_replicas import ResNeXt101, randomize_bn_stats
+
+    torch.manual_seed(5)
+    backbone = ResNeXt101()
+    torch.hub.load = lambda *a, **k: backbone
+    from third_party.MiDaS import MidasNet_mod
+
+    tnet = MidasNet_mod(path=None, normalize_input=True, mask_branch=True).eval()
+    randomize_bn_stats(tnet, rng)
+    sd = _state_numpy(tnet)
+
+    net = MidasNet(normalize_input=True, mask_branch=True)
+    b, h, w = 1, 64, 96
+    x = rng.rand(b, h, w, 3).astype(np.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_variables(variables, sd)
+
+    ours_d, ours_m = net.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        theirs_d, theirs_m = tnet(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(ours_m), theirs_m.numpy()[:, 0],
+                               rtol=2e-3, atol=1e-3)
+    # mask output is bounded [0,1]; depth compared loosely (random init)
+    inv_ours = 10000.0 / np.asarray(ours_d)
+    inv_theirs = 10000.0 / theirs_d.numpy()[:, 0]
+    np.testing.assert_allclose(inv_ours, inv_theirs, rtol=2e-3, atol=1e-2)
+
+
+@needs_reference
 def test_fcn_unet_matches_reference(rng):
     import torch
     from networks.FCNUnet import FCNUnet as TorchUnet
