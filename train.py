@@ -194,6 +194,11 @@ def main():
             cmd = f.read().strip()
         cmd = cmd.format(net_file=join(opt.full_logdir, "best.ckpt"),
                          **vars(opt))
+        # resolve 'python test.py' against this driver's location, not cwd
+        here = os.path.dirname(os.path.abspath(__file__))
+        cmd = cmd.replace(
+            "python test.py", f'"{sys.executable}" "{join(here, "test.py")}"', 1
+        )
         print("Running test command:", cmd)
         os.system(cmd)
 
