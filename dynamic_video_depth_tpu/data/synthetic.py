@@ -18,6 +18,14 @@ from typing import Optional
 import numpy as np
 
 
+def _sample_mask(mask: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor boolean mask lookup with border clamp."""
+    h, w = mask.shape
+    iy = np.clip(np.round(ys).astype(int), 0, h - 1)
+    ix = np.clip(np.round(xs).astype(int), 0, w - 1)
+    return mask[iy, ix]
+
+
 def _smooth_noise(rng, h, w, scale=4):
     small = rng.rand(h // scale + 2, w // scale + 2)
     ys = np.linspace(0, small.shape[0] - 1.001, h)
@@ -40,8 +48,16 @@ def make_track(
     gaps=(1, 2),
     seed: int = 0,
     torch_save: Optional[bool] = None,
+    moving_object: bool = False,
+    object_velocity=(0.08, 0.0, 0.0),
 ):
-    """Generate a synthetic track under ``root`` in reference layout."""
+    """Generate a synthetic track under ``root`` in reference layout.
+
+    With ``moving_object`` a foreground square at a nearer depth translates
+    with constant world velocity; depths, flows, occlusion and motion
+    segmentation are all EXACT two-layer geometry, so the scene-flow field
+    has a known ground-truth solution (``object_velocity`` per frame).
+    """
     import torch
 
     rng = np.random.RandomState(seed)
@@ -57,19 +73,52 @@ def make_track(
     texture = _smooth_noise(rng, h, w, 8)
     base_depth = 2.0 + 2.0 * _smooth_noise(rng, h, w, 16)
 
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix_h = np.stack([xx, yy, np.ones_like(xx)], -1)  # [H, W, 3]
+
+    vel = np.asarray(object_velocity, np.float32)
+    fg_depth = 1.2  # in front of the 2..4 background
+    # foreground world square at frame 0, centered mid-image
+    cx0, cy0 = w * 0.35, h * 0.4
+    half = min(h, w) * 0.15
+
+    def fg_region(i):
+        """Pixel mask of the moving square in frame i (exact projection)."""
+        if not moving_object:
+            return np.zeros((h, w), bool)
+        pose = frame_pose(i)
+        # square corners in world space at time i
+        c0 = np.array([(cx0 - w / 2) / f * fg_depth,
+                       (cy0 - h / 2) / f * fg_depth, fg_depth])
+        c0 = c0 + vel * i
+        # project center + extent into frame i
+        rel = c0 - pose[:3, 3]
+        cam = pose[:3, :3].T @ rel
+        pix = (K @ cam)[:2] / cam[2]
+        half_px = half * fg_depth / cam[2]
+        return ((np.abs(xx - pix[0]) < half_px)
+                & (np.abs(yy - pix[1]) < half_px))
+
+    def frame_pose(i):
+        t = np.array([0.02 * i, 0.005 * i, -0.01 * i], np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = t
+        return pose
+
     frames = []
     for i in range(n_frames):
-        # slowly translating camera, identity-ish rotation
-        t = np.array([0.02 * i, 0.005 * i, -0.01 * i], np.float32)
-        R = np.eye(3, dtype=np.float32)
-        pose = np.eye(4, dtype=np.float32)
-        pose[:3, :3] = R
-        pose[:3, 3] = t
-
+        pose = frame_pose(i)
         img = np.stack(
             [texture, np.roll(texture, i, axis=1), 1 - texture], axis=-1
         ).astype(np.float32)
-        depth = base_depth.astype(np.float32)
+        depth = base_depth.astype(np.float32).copy()
+        region = fg_region(i)
+        if moving_object:
+            # camera-frame depth of the fg plane (z = fg_depth in world,
+            # camera z offset by pose z)
+            depth[region] = fg_depth - pose[2, 3]
+            img[region] = np.array([1.0, 0.2, 0.1], np.float32)
 
         np.savez(
             join(frame_dir, "frame_%05d.npz" % i),
@@ -79,24 +128,36 @@ def make_track(
             depth_pred=depth,
             depth_mvs=depth,
             img_orig=img,
-            motion_seg=np.ones((h, w), np.float32),
+            motion_seg=region.astype(np.float32) if moving_object
+            else np.ones((h, w), np.float32),
         )
-        frames.append(dict(img=img, pose=pose, depth=depth))
+        frames.append(dict(img=img, pose=pose, depth=depth, region=region))
 
-    # exact depth-induced flow between frames (static scene => consistent)
-    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    pix_h = np.stack([xx, yy, np.ones_like(xx)], -1)  # [H, W, 3]
-
+    # exact depth-induced flow between frames: static background + the
+    # foreground layer advected by the object velocity
     def flow_1_2(i, j):
         d = frames[i]["depth"]
         cam = d[..., None] * (pix_h @ K_inv.T)
         world = cam @ frames[i]["pose"][:3, :3].T + frames[i]["pose"][:3, 3]
+        if moving_object:
+            world = world + frames[i]["region"][..., None] * vel * (j - i)
         rel = world - frames[j]["pose"][:3, 3]
         cam2 = rel @ frames[j]["pose"][:3, :3]  # R^T rows
         img2 = cam2 @ K.T
         pix2 = img2[..., :2] / img2[..., 2:3]
         return (pix2 - pix_h[..., :2]).astype(np.float32)
+
+    def occlusion(i, j):
+        """1 where a frame-i pixel is covered/invalid in frame j: background
+        pixels whose target lands inside frame j's foreground square."""
+        if not moving_object:
+            return np.zeros((h, w), np.float32)
+        fl = flow_1_2(i, j)
+        tx = xx + fl[..., 0]
+        ty = yy + fl[..., 1]
+        target_in_fg = _sample_mask(frames[j]["region"], ty, tx)
+        bg = ~frames[i]["region"]
+        return (bg & target_in_fg).astype(np.float32)
 
     for g in gaps:
         cnt = 0
@@ -104,6 +165,18 @@ def make_track(
             j = i + g
             f12 = flow_1_2(i, j)
             f21 = flow_1_2(j, i)
+            # reference stage-2 convention (generate_flows.py:139-148):
+            # mask_2 lives on the FRAME-1 pixel grid (validity toward frame
+            # 2, used by the losses); mask_1 on the frame-2 grid.
+            mask_2 = torch.from_numpy(
+                1.0 - occlusion(i, j)
+            ).reshape(1, h, w, 1, 1).float()
+            mask_1 = torch.from_numpy(
+                1.0 - occlusion(j, i)
+            ).reshape(1, h, w, 1, 1).float()
+            mseg = torch.from_numpy(
+                frames[i]["region"].astype(np.float32)
+            ).reshape(1, h, w, 1, 1) if moving_object else torch.ones(1, h, w, 1, 1)
             sample = {
                 "R_1": torch.from_numpy(frames[i]["pose"][:3, :3].T.copy()).reshape(1, 1, 1, 3, 3),
                 "R_2": torch.from_numpy(frames[j]["pose"][:3, :3].T.copy()).reshape(1, 1, 1, 3, 3),
@@ -119,9 +192,9 @@ def make_track(
                 "depth_pred_1": torch.from_numpy(frames[i]["depth"])[None, None],
                 "flow_1_2": torch.from_numpy(f12)[None],
                 "flow_2_1": torch.from_numpy(f21)[None],
-                "mask_1": torch.ones(1, h, w, 1, 1),
-                "mask_2": torch.ones(1, h, w, 1, 1),
-                "motion_seg_1": torch.ones(1, h, w, 1, 1),
+                "mask_1": mask_1,
+                "mask_2": mask_2,
+                "motion_seg_1": mseg,
                 "fid_1": torch.FloatTensor([i]),
                 "fid_2": torch.FloatTensor([j]),
             }
