@@ -59,10 +59,12 @@ def main():
     state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
 
     gap = 2
-    # compile + warm up
+    # compile + warm up; float() forces a REAL value fetch — on this
+    # environment's experimental remote backend block_until_ready returns at
+    # enqueue, so only a value read measures true completion
     for _ in range(3):
         state, logs = step.train_step(state, batch, steps=gap, warm=False)
-    jax.block_until_ready(logs["loss"])
+    _ = float(logs["loss"])
 
     # median over repeated timing batches: the TPU is reached through a
     # shared tunnel, so single-batch timings are contention-noisy
@@ -72,7 +74,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, logs = step.train_step(state, batch, steps=gap, warm=False)
-        jax.block_until_ready(logs["loss"])
+        _ = float(logs["loss"])  # hard sync
         times.append((time.perf_counter() - t0) / n_iters * 1e3)
     dt_ms = float(np.median(times))
 
