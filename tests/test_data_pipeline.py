@@ -3,7 +3,6 @@ gap bucketing."""
 
 import argparse
 
-import numpy as np
 import pytest
 
 from dynamic_video_depth_tpu.data import BatchLoader, DevicePrefetcher, get_dataset

@@ -22,7 +22,7 @@ needs_reference = pytest.mark.skipif(
 if REFERENCE not in sys.path:
     sys.path.insert(0, REFERENCE)
 
-from dynamic_video_depth_tpu.ops import Camera, flow_by_depth, packed_from_camera, scene_flow_projection
+from dynamic_video_depth_tpu.ops import packed_from_camera, scene_flow_projection
 from dynamic_video_depth_tpu.train.losses import LossConfig, consistency_losses
 
 from test_geometry import random_camera, share_intrinsics  # noqa: E402

@@ -1,10 +1,7 @@
 """The fused-Pallas scene-flow path must produce the same training step as
 the Flax path (values + parameter updates), in interpret mode on CPU."""
 
-import dataclasses
-
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 

@@ -6,7 +6,6 @@ import argparse
 from os.path import join
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 

@@ -5,7 +5,6 @@ and convex upsampling end to end — the same port path raft-sintel.pth
 takes)."""
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 import torch

@@ -4,9 +4,7 @@ non-time-dependent field, motion-seg gating, disp-ratio loss, weight_steps."""
 import sys
 
 import numpy as np
-import pytest
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, "tests")
 
