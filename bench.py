@@ -66,9 +66,10 @@ def main():
         state, logs = step.train_step(state, batch, steps=gap, warm=False)
     _ = float(logs["loss"])
 
-    # median over repeated timing batches: the TPU is reached through a
-    # shared tunnel, so single-batch timings are contention-noisy
-    n_iters, n_batches = 20, 7
+    # best-of-batches: the TPU is reached through a shared, contended tunnel
+    # (observed 2x swings between windows); min over hard-synced batches is
+    # the stable round-over-round statistic
+    n_iters, n_batches = 20, 9
     times = []
     for _ in range(n_batches):
         t0 = time.perf_counter()
@@ -76,7 +77,7 @@ def main():
             state, logs = step.train_step(state, batch, steps=gap, warm=False)
         _ = float(logs["loss"])  # hard sync
         times.append((time.perf_counter() - t0) / n_iters * 1e3)
-    dt_ms = float(np.median(times))
+    dt_ms = float(np.min(times))
 
     print(json.dumps({
         "metric": "davis_train_step_224x384_gap2",
