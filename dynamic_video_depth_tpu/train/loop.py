@@ -150,8 +150,11 @@ class Trainer:
             self._vali(max(start_epoch - 1, 0))
         try:
             for epoch in range(start_epoch, opt.epoch + 1):
+                t_epoch = time.time()
                 self._train_one(epoch)
                 vali_logs = self._vali(epoch)
+                vali_logs = dict(vali_logs)
+                vali_logs["epoch_time"] = time.time() - t_epoch
                 self.logger.on_epoch_end(epoch, vali_logs)
         finally:
             self.logger.on_train_end()
