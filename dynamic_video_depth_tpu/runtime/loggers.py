@@ -239,23 +239,33 @@ class BatchCsvLogger(BaseLogger):
 
 
 class TerminateOnNaN(BaseLogger):
-    """Abort on NaN metrics (reference: loggers/loggers.py:309-322)."""
+    """Abort on NaN metrics (reference: loggers/loggers.py:309-322).
+
+    Batch-level like the reference: by the time on_batch_end fires, the
+    trainer has already fetched the packed metric vector asynchronously (one
+    step behind), so checking costs no extra device sync. Device arrays
+    (e.g. from custom loops) are only checked at epoch end."""
 
     def __init__(self):
         super().__init__()
         self.stopped = False
 
+    def _check(self, logs, where):
+        for k, v in (logs or {}).items():
+            if isinstance(v, (float, int, np.floating, np.integer)):
+                val = float(v)
+                if math.isnan(val) or math.isinf(val):
+                    self.stopped = True
+                    raise FloatingPointError(
+                        f"NaN/Inf metric {k}={val} at {where}; terminating."
+                    )
+
+    def on_batch_end(self, batch, logs=None):
+        self._check(logs, f"batch {batch}")
+
     def on_epoch_end(self, epoch, logs=None):
-        # epoch-granular check: avoids a device sync per batch, still stops
-        # a diverged run within one epoch.
-        logs = logs or {}
-        for k, v in logs.items():
-            val = _scalar(v)
-            if math.isnan(val) or math.isinf(val):
-                self.stopped = True
-                raise FloatingPointError(
-                    f"NaN/Inf metric {k}={val} at epoch {epoch}; terminating."
-                )
+        logs = {k: _scalar(v) for k, v in (logs or {}).items()}
+        self._check(logs, f"epoch {epoch}")
 
 
 class ModelSaveLogger(BaseLogger):

@@ -78,10 +78,16 @@ def test_terminate_on_nan():
     logger.set_params({})
     logger.on_train_begin()
     logger.on_epoch_begin(1)
-    logger.on_batch_end(0, {"size": 1, "loss": float("nan")})
-    cum.on_epoch_end(1)
+    # batch-level: host floats are checked immediately
     with pytest.raises(FloatingPointError):
-        logger.on_epoch_end(1, cum.epoch_logs)
+        logger.on_batch_end(0, {"size": 1, "loss": float("nan")})
+    # epoch-level: device scalars converted then checked
+    import jax.numpy as jnp
+
+    logger2 = ComposeLogger([LogCumulator(), TerminateOnNaN()])
+    logger2.on_epoch_begin(1)
+    with pytest.raises(FloatingPointError):
+        logger2.on_epoch_end(1, {"loss": jnp.asarray(float("inf"))})
 
 
 def test_model_save_best_only(tmp_path):
