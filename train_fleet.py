@@ -101,6 +101,28 @@ def main():
     base.init_from_sample(sample["img_1"], seed=opt.manual_seed or 0)
     states = fleet.broadcast_state(base.state, n_videos)
 
+    logdir0 = opt.logdir or "./checkpoints/fleet"
+    start_epoch = 1
+    if opt.resume == -1:
+        # resume every video from its per-track checkpoint when present
+        from dynamic_video_depth_tpu.runtime.checkpoint import load_state
+
+        loaded, epochs = [], []
+        for t in tracks:
+            p = join(logdir0, t, "checkpoint.ckpt")
+            if os.path.isfile(p):
+                st, meta = load_state(p, base.state)
+                loaded.append(st)
+                epochs.append(int(meta.get("epoch", 0)))
+            else:
+                loaded.append(jax.device_get(base.state))
+                epochs.append(0)
+        if any(epochs):
+            states = jax.device_put(tree_stack(loaded),
+                                    fleet.state_sharding())
+            start_epoch = min(e for e in epochs) + 1
+            print(f"Resumed fleet at epoch {start_epoch - 1}")
+
     logdir = opt.logdir or "./checkpoints/fleet"
     os.makedirs(logdir, exist_ok=True)
     save_opt(logdir, opt)
@@ -126,7 +148,7 @@ def main():
     gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
     best_vali = [float("inf")] * n_videos
 
-    for epoch in range(1, opt.epoch + 1):
+    for epoch in range(start_epoch, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
         logger.on_epoch_begin(epoch)
         n_steps = opt.epoch_batches or min(len(d) for d in datasets)
