@@ -394,7 +394,7 @@ class SceneFlowMotionFieldStep:
         )
         cam_1 = Camera(batch["R_1"], batch["t_1"], batch["K"], batch["K_inv"])
         global_p1 = unproject(depth, cam_1)
-        sf_1_2 = self._sf_multi_step(
+        sf_1_2, _ = self._sf_multi_step(
             state.params_sf, global_p1, batch["time_stamp_1"],
             batch["time_step"], steps=1,
         )

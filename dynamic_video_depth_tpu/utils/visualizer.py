@@ -47,15 +47,23 @@ def _write_png(path: str, arr: np.ndarray):
 
 
 class HTMLVisualizer:
-    """Async visualization writer."""
+    """Async visualization writer.
+
+    One accumulated page per output directory (= per epoch), a row per
+    visualized batch, columns = image-routable keys — the reference's
+    eyeball-QA workflow (reference: visualize/html_visualizer.py:63-120
+    ``prepare_HTML_string`` accumulates ``<tr>`` rows into the epoch page).
+    The page is rewritten after every batch so it is always current, even if
+    the run dies mid-epoch."""
 
     def __init__(self, n_workers: int = 4):
         self.pool = ThreadPoolExecutor(max_workers=n_workers)
         self._pending = []
+        self._tables: Dict[str, ImageTable] = {}
 
     def visualize(self, pack: Dict[str, np.ndarray], idx: int, outdir: str):
         os.makedirs(outdir, exist_ok=True)
-        written = []
+        written = {}
         for key, value in pack.items():
             if not isinstance(value, np.ndarray):
                 continue
@@ -66,12 +74,18 @@ class HTMLVisualizer:
             self._pending.append(
                 self.pool.submit(_write_png, join(outdir, fname), img)
             )
-            written.append(fname)
+            written[key] = fname
         if written:
-            table = ImageTable(title=os.path.basename(outdir))
-            table.add_row(sorted(written))
-            table.save(join(outdir, f"batch{idx:04d}.html"))
-        return written
+            table = self._tables.get(outdir)
+            if table is None:
+                table = ImageTable(title=os.path.basename(outdir))
+                table.set_header(["batch"] + sorted(written))
+                self._tables[outdir] = table
+            table.add_row(
+                [f"{idx:04d}"] + [written.get(k, "") for k in sorted(written)]
+            )
+            table.save(join(outdir, "index.html"))
+        return sorted(written.values())
 
     def flush(self):
         for f in self._pending:

@@ -79,9 +79,19 @@ def main():
         test_loss += float(
             disparity_vali_loss(pred["depth"], batch["depth_mvs"])
         )
+        # Full reference test-dump schema (reference: pack_output,
+        # models/video_base.py:105-126 + test_on_batch :128-155): the
+        # prediction dict (depth, sf_1_2) plus imgs, init depth, "gt" depth,
+        # camera pose/intrinsics and the source path.
         pack = {
-            "depth": pred["depth"], "depth_nn": batch["depth_pred"],
-            "depth_gt": batch["depth_mvs"], "img_1": batch["img"],
+            "batch_size": np.asarray([1]),
+            "img_1": batch["img"], "img_2": batch["img"],
+            "depth": np.asarray(pred["depth"]),
+            "sf_1_2": np.asarray(pred["sf_1_2"]),
+            "depth_nn": batch["depth_pred"],
+            "depth_gt": batch["depth_mvs"],
+            "cam_c2w": batch["cam_c2w"], "K": batch["K"],
+            "pair_path": np.asarray(batch["pair_path"]),
         }
         np.savez(join(outdir, "batch%04d" % i), **pack)
         visualizer.visualize(pack, i, outdir)

@@ -137,6 +137,25 @@ def test_vali_step(track_dir):
     assert np.isfinite(float(logs["loss"]))
 
 
+def test_predict_output_shapes(track_dir):
+    """Inference-path outputs must match the reference's test dump schema
+    (reference: models/scene_flow_motion_field.py:266-275) — sf_1_2 is a
+    single [B, H, W, 3] field, NOT the (sf_acc, first_sf) tuple that the
+    multi-step integrator returns internally (round-1 regression)."""
+    ds = get_dataset("davis_sequence")(make_opt(track_dir), mode="vali")
+    step = SceneFlowMotionFieldStep(small_cfg())
+    b = device_batch(ds[0])
+    state = step.init_state(jax.random.PRNGKey(0), b["img"])
+    pred = step.predict(state, b)
+    bsz, h, w = b["img"].shape[:3]
+    assert isinstance(pred["sf_1_2"], jax.Array)
+    assert pred["sf_1_2"].shape == (bsz, h, w, 3)
+    assert pred["depth"].shape == (bsz, h, w)
+    # vali path shares predict_impl; npz serialization must round-trip
+    pred_v, _ = step.vali_step(state, b)
+    assert np.asarray(pred_v["sf_1_2"]).shape == (bsz, h, w, 3)
+
+
 def test_gap_buckets_share_no_recompile_within_gap(track_dir):
     """Each (gap, warm) pair compiles once; repeated calls reuse the cache."""
     ds = get_dataset("davis_sequence")(make_opt(track_dir), mode="train")

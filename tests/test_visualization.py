@@ -51,11 +51,16 @@ def test_visualizer_writes_pngs(tmp_path, rng):
         "pair_path": "ignored",
     }
     written = vis.visualize(pack, 3, str(tmp_path))
+    written5 = vis.visualize(pack, 5, str(tmp_path))
     vis.close()
-    assert len(written) == 3
-    for f in written:
+    assert len(written) == 3 and len(written5) == 3
+    for f in written + written5:
         assert os.path.isfile(tmp_path / f)
-    assert os.path.isfile(tmp_path / "batch0003.html")
+    # one accumulated page per epoch dir: a row per batch (reference:
+    # visualize/html_visualizer.py:63-120)
+    html = open(tmp_path / "index.html").read()
+    assert "batch0003_depth.png" in html and "batch0005_depth.png" in html
+    assert html.count("<tr>") == 3  # header + 2 batch rows
 
 
 def test_html_builders(tmp_path):
