@@ -101,6 +101,66 @@ class DeviceCache:
         return dev
 
 
+class FleetBatchCache:
+    """Per-video device-pinned batch cache for the multi-video fleet.
+
+    Each video's pair batches live in ITS chip's HBM (with the leading
+    ``[1]`` video axis pre-added); assembling the fleet-wide ``[V, ...]``
+    batch is then a zero-copy ``jax.make_array_from_single_device_arrays``
+    call. This removes the per-step host stack + ``device_put`` of V full
+    batches that the naive fleet loop pays (the packed pair set of one
+    DAVIS track is ~1 GB vs 16 GB HBM per chip).
+    """
+
+    def __init__(self, datasets, mesh, axis: str = "video",
+                 max_bytes_per_device: float = 6e9):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.mesh = mesh
+        self.axis = axis
+        self._sharding = NamedSharding(mesh, PartitionSpec(axis))
+        devices = list(mesh.devices.reshape(-1))
+        if len(datasets) > len(devices):
+            raise ValueError(
+                f"{len(datasets)} videos > {len(devices)} mesh devices"
+            )
+        self.datasets = datasets
+        self.devices = devices[: len(datasets)]
+        self.max_bytes = max_bytes_per_device
+        self._caches: list = [{} for _ in datasets]
+        self._bytes = [0.0] * len(datasets)
+
+    def _video_batch(self, vi: int, idx) -> Dict:
+        cache = self._caches[vi]
+        if idx in cache:
+            return cache[idx]
+        batch = self.datasets[vi][idx]
+        dev = {
+            k: jax.device_put(np.asarray(v)[None], self.devices[vi])
+            for k, v in batch.items()
+            if k not in _HOST_KEYS_SKIP
+        }
+        size = sum(a.nbytes for a in dev.values())
+        if self._bytes[vi] + size <= self.max_bytes:
+            cache[idx] = dev
+            self._bytes[vi] += size
+        return dev
+
+    def stacked(self, idxs: Sequence) -> Dict:
+        """Fleet batch for per-video sample indices ``idxs`` (len V):
+        leaves ``[V, ...]`` sharded over the video axis, no host copies
+        for cache hits."""
+        per_video = [self._video_batch(vi, i) for vi, i in enumerate(idxs)]
+        out = {}
+        for k, first in per_video[0].items():
+            shards = [pv[k] for pv in per_video]
+            global_shape = (len(shards),) + tuple(first.shape[1:])
+            out[k] = jax.make_array_from_single_device_arrays(
+                global_shape, self._sharding, shards
+            )
+        return out
+
+
 class DevicePrefetcher:
     """Wraps an iterator of numpy batches with one-step-ahead device_put."""
 

@@ -130,17 +130,27 @@ class DataParallelStep:
         self.data_axis = data_axis
 
     def place(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
+        """Shard batch leaves over the data axis; scalars replicate.
+
+        A non-scalar leaf whose leading dim is not divisible by the data
+        axis size is an ERROR — silently replicating it would train on
+        duplicated data."""
+        n = self.mesh.shape[self.data_axis]
         rep = NamedSharding(self.mesh, P())
         state = jax.device_put(state, rep)
         sh = NamedSharding(self.mesh, P(self.data_axis))
-        batch = {
-            k: jax.device_put(
-                v, sh if getattr(v, "ndim", 0) >= 1 and v.shape and
-                v.shape[0] % self.mesh.shape[self.data_axis] == 0 else rep
-            )
-            for k, v in batch.items()
-        }
-        return state, batch
+        out = {}
+        for k, v in batch.items():
+            if getattr(v, "ndim", 0) == 0 or not getattr(v, "shape", ()):
+                out[k] = jax.device_put(v, rep)  # per-batch constant scalar
+            elif v.shape[0] % n == 0:
+                out[k] = jax.device_put(v, sh)
+            else:
+                raise ValueError(
+                    f"batch[{k!r}] leading dim {v.shape[0]} is not divisible"
+                    f" by data-axis size {n}; refusing to silently replicate"
+                )
+        return state, out
 
     @partial(jax.jit, static_argnames=("self", "steps", "warm"),
              donate_argnames=("state",))

@@ -134,11 +134,14 @@ class ProgbarLogger(BaseLogger):
     def on_batch_end(self, batch, logs=None):
         logs = logs or {}
         self.seen += 1
+        # size-weighted running means, like the reference's Progbar
+        # (reference: loggers/Progbar.py:43-143)
+        size = int(logs.get("size", 1))
         for k, v in logs.items():
             if k == "size" or (self.metrics and k not in self.metrics):
                 continue
-            self._sums[k] = self._sums.get(k, 0.0) + _scalar(v)
-            self._counts[k] = self._counts.get(k, 0) + 1
+            self._sums[k] = self._sums.get(k, 0.0) + _scalar(v) * size
+            self._counts[k] = self._counts.get(k, 0) + size
         now = time.time()
         if now - self._last < self.interval:
             return
@@ -254,10 +257,13 @@ class TerminateOnNaN(BaseLogger):
         for k, v in (logs or {}).items():
             if isinstance(v, (float, int, np.floating, np.integer)):
                 val = float(v)
-                if math.isnan(val) or math.isinf(val):
+                # NaN only, like the reference (its isinf check is
+                # deliberately commented out, reference loggers/loggers.py:
+                # 309-322): a transient inf metric must not kill a long run.
+                if math.isnan(val):
                     self.stopped = True
                     raise FloatingPointError(
-                        f"NaN/Inf metric {k}={val} at {where}; terminating."
+                        f"NaN metric {k}={val} at {where}; terminating."
                     )
 
     def on_batch_end(self, batch, logs=None):
@@ -275,14 +281,28 @@ class ModelSaveLogger(BaseLogger):
     """
 
     def __init__(self, save_fn, filepath: str, period: int = 1,
-                 save_best_only: bool = False, cumulator: Optional[LogCumulator] = None):
+                 save_best_only: bool = False,
+                 cumulator: Optional[LogCumulator] = None,
+                 best_holder: Optional[dict] = None):
         super().__init__()
         self.save_fn = save_fn
         self.filepath = filepath
         self.period = period
         self.save_best_only = save_best_only
         self.cumulator = cumulator
-        self.best = float("inf")
+        # shared across the periodic/best loggers of one run so every
+        # checkpoint sidecar records the true best; seeded from
+        # best.ckpt.json on resume (the reference reloads prev_best from
+        # best.pt, reference train.py:150-165)
+        self._best = best_holder if best_holder is not None else {"best": float("inf")}
+
+    @property
+    def best(self) -> float:
+        return self._best["best"]
+
+    @best.setter
+    def best(self, value: float):
+        self._best["best"] = value
 
     def on_epoch_end(self, epoch, logs=None):
         logs = logs or (self.cumulator.epoch_logs if self.cumulator else {})

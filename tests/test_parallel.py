@@ -85,6 +85,70 @@ def test_multi_video_matches_single(tracks):
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_fleet_batch_cache_matches_host_stack(tracks):
+    """FleetBatchCache assembles the same [V, ...] fleet batch as the naive
+    host-side stack + device_put, with shards resident on each video's
+    device, and the fleet step consumes it identically."""
+    from dynamic_video_depth_tpu.data.prefetch import FleetBatchCache
+
+    names = ["vid_a", "vid_b", "vid_c", "vid_d"]
+    opts = [argparse.Namespace(
+        track_id=n, gaps="1", repeat=1, subsample=False, cache=False,
+        overfit=False, capat=1, select=False, data_root=tracks,
+    ) for n in names]
+    datasets = [get_dataset("davis_sequence")(o, mode="train") for o in opts]
+    mesh = make_mesh([("video", 4)])
+    cache = FleetBatchCache(datasets, mesh)
+
+    stacked = cache.stacked([0, 0, 0, 0])
+    # second call must hit the device cache (no new bytes)
+    bytes_before = list(cache._bytes)
+    stacked2 = cache.stacked([0, 0, 0, 0])
+    assert cache._bytes == bytes_before
+
+    ref = tree_stack([
+        {k: jnp.asarray(v) for k, v in ds[0].items()
+         if k not in ("pair_path", "steps")}
+        for ds in datasets
+    ])
+    assert set(stacked) == set(ref)
+    for k in ref:
+        assert stacked[k].shape == ref[k].shape, k
+        np.testing.assert_array_equal(np.asarray(stacked[k]),
+                                      np.asarray(ref[k]))
+        # sharded over the video axis, one shard per device
+        assert len(stacked[k].sharding.device_set) == 4, k
+
+    # the fleet step accepts the cached batch and matches the host-stacked one
+    step = SceneFlowMotionFieldStep(small_cfg())
+    mv = MultiVideoOptimizer(step, mesh)
+    states = tree_stack([
+        step.init_state(jax.random.PRNGKey(i), np.asarray(ref["img_1"][i]))
+        for i in range(4)
+    ])
+    s_a = jax.device_put(states, mv.state_sharding())
+    _, logs_a = mv.train_step(s_a, stacked2, steps=1, warm=False)
+    s_b = jax.device_put(states, mv.state_sharding())
+    _, logs_b = mv.train_step(s_b, ref, steps=1, warm=False)
+    np.testing.assert_allclose(np.asarray(logs_a["loss"]),
+                               np.asarray(logs_b["loss"]), rtol=1e-6)
+
+
+def test_data_parallel_place_rejects_indivisible(tracks):
+    """A batch leaf with a leading dim not divisible by the data axis must
+    raise, not silently train on replicated data."""
+    from dynamic_video_depth_tpu.parallel import DataParallelStep
+
+    batch = load_video_batches(tracks, ["vid_a"])[0]
+    bad = dict(batch)
+    bad["img_1"] = jnp.concatenate([batch["img_1"]] * 3, 0)  # B=3 on 4-way
+    step = SceneFlowMotionFieldStep(small_cfg())
+    state = step.init_state(jax.random.PRNGKey(7), batch["img_1"])
+    dp = DataParallelStep(step, make_mesh([("data", 4)]))
+    with pytest.raises(ValueError, match="not divisible"):
+        dp.place(state, bad)
+
+
 def test_data_parallel_matches_single_device(tracks):
     """Same-video DP over a 4-way data mesh must equal the unsharded step."""
     from dynamic_video_depth_tpu.parallel import DataParallelStep

@@ -87,7 +87,13 @@ def test_terminate_on_nan():
     logger2 = ComposeLogger([LogCumulator(), TerminateOnNaN()])
     logger2.on_epoch_begin(1)
     with pytest.raises(FloatingPointError):
-        logger2.on_epoch_end(1, {"loss": jnp.asarray(float("inf"))})
+        logger2.on_epoch_end(1, {"loss": jnp.asarray(float("nan"))})
+    # a transient inf must NOT abort (reference checks isnan only, its isinf
+    # is deliberately commented out: reference loggers/loggers.py:309-322)
+    logger3 = ComposeLogger([LogCumulator(), TerminateOnNaN()])
+    logger3.on_epoch_begin(1)
+    logger3.on_batch_end(0, {"size": 1, "loss": float("inf")})
+    logger3.on_epoch_end(1, {"loss": jnp.asarray(float("inf"))})
 
 
 def test_model_save_best_only(tmp_path):

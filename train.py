@@ -143,18 +143,34 @@ def main():
     def save_fn(path, epoch=0, best=float("inf")):
         saver.save(path, snapshot(model.state), epoch=epoch, best=best)
 
+    # one shared best value: periodic sidecars record it, and on resume the
+    # previous best is restored from best.ckpt.json so the first resumed
+    # epoch can't overwrite best.ckpt with a worse model (reference reloads
+    # prev_best from best.pt, reference train.py:150-165)
+    best_holder = {"best": float("inf")}
+    if start_epoch > 1:
+        best_meta = join(opt.full_logdir, "best.ckpt.json")
+        if os.path.isfile(best_meta):
+            import json
+
+            with open(best_meta) as f:
+                best_holder["best"] = float(json.load(f).get("best", "inf"))
+            print(f"Restored best vali loss {best_holder['best']:.6g}")
+
     logger.add_logger(
         ModelSaveLogger(save_fn, join(opt.full_logdir, "checkpoint.ckpt"),
-                        period=1, cumulator=cumulator)
+                        period=1, cumulator=cumulator,
+                        best_holder=best_holder)
     )
     if opt.save_net > 0:
         logger.add_logger(
             ModelSaveLogger(save_fn, join(opt.full_logdir, "nets", "%04d.ckpt"),
-                            period=opt.save_net, cumulator=cumulator)
+                            period=opt.save_net, cumulator=cumulator,
+                            best_holder=best_holder)
         )
     best_saver = ModelSaveLogger(
         save_fn, join(opt.full_logdir, "best.ckpt"), save_best_only=True,
-        cumulator=cumulator,
+        cumulator=cumulator, best_holder=best_holder,
     )
     logger.add_logger(best_saver)
 

@@ -146,22 +146,42 @@ def main():
 
     orders = [gap_orders(ds) for ds in datasets]
     gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
+    # gap sampled proportional to pair count, matching the reference's
+    # concatenated per-gap file list (reference: datasets/davis_sequence.py:
+    # 64-73 — a uniform draw over the union visits each gap in proportion)
+    gap_counts = np.array(
+        [sum(len(o[g]) for o in orders) for g in gaps], np.float64
+    )
+    gap_probs = gap_counts / gap_counts.sum()
+
     best_vali = [float("inf")] * n_videos
+    if start_epoch > 1:
+        # restore previous best so a resumed run can't overwrite best.ckpt
+        # with a worse epoch (reference reloads prev_best, train.py:150-165)
+        import json
+
+        for vi, t in enumerate(tracks):
+            meta_p = join(logdir, t, "best.ckpt.json")
+            if os.path.isfile(meta_p):
+                with open(meta_p) as f:
+                    best_vali[vi] = float(json.load(f).get("best", "inf"))
+
+    # HBM-resident per-video batch caches: steady-state steps assemble the
+    # fleet batch from device shards with zero host traffic
+    from dynamic_video_depth_tpu.data.prefetch import FleetBatchCache
+
+    train_cache = FleetBatchCache(datasets, mesh)
+    vali_cache = FleetBatchCache(vali_sets, mesh)
 
     for epoch in range(start_epoch, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
         logger.on_epoch_begin(epoch)
         n_steps = opt.epoch_batches or min(len(d) for d in datasets)
         for it_ in range(n_steps):
-            gap = gaps[rng.randint(len(gaps))]
-            batches = []
-            for vi, ds in enumerate(datasets):
-                idxs = orders[vi][gap]
-                b = ds[idxs[rng.randint(len(idxs))]]
-                batches.append({k: v for k, v in b.items() if k != "pair_path"})
-            stacked = jax.device_put(tree_stack(
-                [jax.tree.map(jax.numpy.asarray, b) for b in batches]
-            ), fleet.state_sharding())
+            gap = gaps[rng.choice(len(gaps), p=gap_probs)]
+            idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                    for vi in range(n_videos)]
+            stacked = train_cache.stacked(idxs)
             states, logs = fleet.train_step(states, stacked,
                                             steps=int(round(gap / datasets[0].unit)),
                                             warm=warm)
@@ -174,12 +194,7 @@ def main():
         n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
         vali_losses = np.zeros(n_videos)
         for fi in range(n_vali):
-            vbatches = [
-                {k: jax.numpy.asarray(v) for k, v in vs[fi].items()
-                 if k not in ("pair_path", "steps")}
-                for vs in vali_sets
-            ]
-            _, vlogs = fleet.vali_step(states, tree_stack(vbatches))
+            _, vlogs = fleet.vali_step(states, vali_cache.stacked([fi] * n_videos))
             vali_losses += np.asarray(vlogs["loss"]) / max(n_vali, 1)
 
         logger.on_epoch_end(epoch, {"loss": float(np.mean(vali_losses))})
@@ -189,7 +204,7 @@ def main():
         for vi, t in enumerate(tracks):
             state_i = tree_index(host_states, vi)
             save_state(join(logdir, t, "checkpoint.ckpt"), state_i,
-                       epoch=epoch)
+                       epoch=epoch, best=best_vali[vi])
             if vali_losses[vi] < best_vali[vi]:
                 best_vali[vi] = float(vali_losses[vi])
                 save_state(join(logdir, t, "best.ckpt"), state_i,
