@@ -13,6 +13,8 @@ from .geometry import (
     project,
     flow_by_depth,
     scene_flow_projection,
+    depth_warp_stage,
+    projection_stage,
     rigidity_loss,
 )
 
@@ -27,5 +29,7 @@ __all__ = [
     "project",
     "flow_by_depth",
     "scene_flow_projection",
+    "depth_warp_stage",
+    "projection_stage",
     "rigidity_loss",
 ]

@@ -176,6 +176,107 @@ def scene_flow_projection(
     }
 
 
+def unproject_camera(depth: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """Depth map -> camera-frame point cloud ``d * K^-1 [x, y, 1]``."""
+    _, h, w = depth.shape
+    pix = pixel_coords_homogeneous(h, w, dtype=depth.dtype)
+    return depth[..., None] * jnp.einsum(
+        "bij,hwj->bhwi", cam.K_inv, pix, precision=Precision.HIGHEST
+    )
+
+
+def camera_to_world(cam_pts: jnp.ndarray, cam: Camera) -> jnp.ndarray:
+    """Camera-frame points -> world points ``R_c2w @ p + t``."""
+    return (
+        jnp.einsum("bij,bhwj->bhwi", cam.R_c2w, cam_pts,
+                   precision=Precision.HIGHEST)
+        + cam.t[:, None, None, :]
+    )
+
+
+def depth_warp_stage(
+    depth_1: jnp.ndarray,
+    depth_2: jnp.ndarray,
+    flow_1_2: jnp.ndarray,
+    cam_1: Camera,
+    cam_2: Camera,
+    warp_fn=None,
+) -> Dict[str, jnp.ndarray]:
+    """Everything the train step needs BEFORE the scene-flow field query:
+    unprojections + the single fused warp + the flow-implied scene flow.
+
+    Merges the shared work of ``flow_by_depth`` (reference:
+    losses/scene_flow_projection.py:95-153) and
+    ``scene_flow_projection_slack`` (:204-278): the reference warps BOTH
+    ``global_p2`` (3ch) and ``[p2_camera_2, depth_2]`` (4ch) by the same
+    flow, but the warp is linear with partition-of-unity weights, so
+    ``warp(global_p2) = R_2 @ warp(p2_camera_2) + t_2`` exactly — one
+    4-channel warp replaces both (half the gather traffic, one kernel).
+
+    ``warp_fn(buffer, flow) -> warped`` defaults to the XLA grid-sample
+    path; the TPU path passes the fused Pallas kernel.
+    """
+    if warp_fn is None:
+        warp_fn = backward_warp
+    p1_camera_1 = unproject_camera(depth_1, cam_1)
+    p2_camera_2 = unproject_camera(depth_2, cam_2)
+    global_p1 = camera_to_world(p1_camera_1, cam_1)
+
+    warp_src = jnp.concatenate([p2_camera_2, depth_2[..., None]], axis=-1)
+    warped = warp_fn(warp_src, flow_1_2)
+    warped_p2_camera_2 = warped[..., :3]
+    depth_warp_1_2 = warped[..., 3]
+    warped_global_p2 = camera_to_world(warped_p2_camera_2, cam_2)
+    sf_by_depth = warped_global_p2 - global_p1
+
+    return {
+        "global_p1": global_p1,
+        "sf_by_depth": sf_by_depth,
+        "warped_p2_camera_2": warped_p2_camera_2,
+        "depth_warp_1_2": depth_warp_1_2,
+    }
+
+
+def projection_stage(
+    depth_1: jnp.ndarray,
+    depth_2: jnp.ndarray,
+    cam_2: Camera,
+    sflow_1_2: jnp.ndarray,
+    stage: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """Advect + reproject, completing ``scene_flow_projection`` from a
+    ``depth_warp_stage`` result (reference: scene_flow_projection_slack,
+    losses/scene_flow_projection.py:222-278). Returns the same dict schema
+    as :func:`scene_flow_projection`."""
+    b, h, w = depth_1.shape
+    base = pixel_coords(h, w, dtype=depth_1.dtype)[None]
+    global_p1 = stage["global_p1"]
+
+    advected = global_p1 + sflow_1_2
+    pix_1_in_2, p1_camera_2 = project(advected, cam_2)
+    dflow_1_2 = pix_1_in_2 - base
+
+    pix_static, _ = project(global_p1, cam_2)
+    staticflow_1_2 = pix_static - base
+
+    depth_image_1_2 = jnp.einsum(
+        "bj,bhwj->bhw", cam_2.K[:, 2, :], p1_camera_2,
+        precision=Precision.HIGHEST,
+    )
+    return {
+        "dflow_1_2": dflow_1_2,
+        "staticflow_1_2": staticflow_1_2,
+        "depth_image_1_2": depth_image_1_2,
+        "depth_warp_1_2": stage["depth_warp_1_2"],
+        "depth_1": depth_1,
+        "depth_2": depth_2,
+        "scenef_1_2": sflow_1_2,
+        "global_p1": global_p1,
+        "p1_camera_2": p1_camera_2,
+        "warped_p2_camera_2": stage["warped_p2_camera_2"],
+    }
+
+
 def rigidity_loss(global_p1: jnp.ndarray, sf: jnp.ndarray, depth_1: jnp.ndarray, s: float = 1.0):
     """Edge-aware local-rigidity loss (reference: calc_rigidity_loss,
     losses/scene_flow_projection.py:156-201 — defined but not wired into the

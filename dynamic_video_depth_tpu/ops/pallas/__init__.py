@@ -4,8 +4,12 @@
   cost: a 256-wide MLP evaluated per pixel, integrated over the frame gap
   and differentiated — unfused XLA spills ~88MB of activations to HBM per
   layer per eval; the fused kernel keeps the whole chain in VMEM).
+- ``warp_kernel``: fused gather-free backward warp (the loss chain's
+  grid-sample replaced by tent-weight MXU matmuls + VPU reductions), with
+  a custom VJP w.r.t. the warped buffer.
 """
 
 from .mlp_kernel import fused_mlp, fused_mlp_reference
+from .warp_kernel import fused_backward_warp
 
-__all__ = ["fused_mlp", "fused_mlp_reference"]
+__all__ = ["fused_mlp", "fused_mlp_reference", "fused_backward_warp"]

@@ -32,7 +32,12 @@ from ..models import (
     MidasNet,
     SceneFlowFieldNet,
 )
-from ..ops import Camera, flow_by_depth, scene_flow_projection, unproject
+from ..ops import (
+    Camera,
+    depth_warp_stage,
+    projection_stage,
+    unproject,
+)
 from .losses import LossConfig, consistency_losses, disparity_vali_loss
 
 
@@ -70,6 +75,12 @@ class TrainStepConfig:
     compute_dtype: str = "bfloat16"
     # fused Pallas scene-flow MLP ('auto' = on TPU backends only)
     use_pallas_sf: str = "auto"
+    # fused Pallas backward warp ('auto' = on TPU backends only)
+    use_pallas_warp: str = "auto"
+    # source-row window of the fused warp; None = full height (always
+    # exact), 64 covers any flow that varies < 48 px vertically within an
+    # 8-row block (far beyond DAVIS working-resolution flows)
+    pallas_warp_window: Optional[int] = 64
 
 
 class TrainState(struct.PyTreeNode):
@@ -243,9 +254,30 @@ class SceneFlowMotionFieldStep:
 
     # ------------------------------------------------------------ train step
 
+    def _warp_fn(self):
+        """Backward-warp implementation: the fused Pallas kernel on TPU
+        (ops/pallas/warp_kernel.py — gather-free tent-matmul warp with a
+        custom src-only VJP), XLA grid-sample elsewhere. The flow is data
+        (never differentiated), which the Pallas VJP contract requires."""
+        mode = self.cfg.use_pallas_warp
+        on = (jax.default_backend() not in ("cpu",)) if mode == "auto" \
+            else mode in ("1", "true", "on", "yes")
+        if not on:
+            return None  # depth_warp_stage defaults to the XLA path
+        from ..ops.pallas import fused_backward_warp
+
+        win = self.cfg.pallas_warp_window
+
+        def warp(buf, flow):
+            return fused_backward_warp(buf, jax.lax.stop_gradient(flow), win)
+
+        return warp
+
     def _forward(self, params_depth, params_sf, stats_depth, batch, steps: int):
         """(reference: _predict_on_batch, models/scene_flow_motion_field.py:
-        229-264)."""
+        229-264). The reference's flow_by_depth + scene_flow_projection pair
+        is merged: shared unprojections computed once and ONE fused
+        4-channel warp serves both (see ops.geometry.depth_warp_stage)."""
         cam_1, cam_2 = _batch_cameras(batch)
         # one batched depth forward for both frames: at batch 1 the conv
         # launch is tiny; doubling the batch improves MXU occupancy and
@@ -255,8 +287,11 @@ class SceneFlowMotionFieldStep:
         depths = self._apply_depth(params_depth, stats_depth, imgs)
         depth_1, depth_2 = depths[:b], depths[b:]
 
-        dflow = flow_by_depth(depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2)
-        global_p1 = dflow["global_p1"]
+        stage = depth_warp_stage(
+            depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2,
+            warp_fn=self._warp_fn(),
+        )
+        global_p1 = stage["global_p1"]
 
         time_step = batch["time_step"]
         sf_1_2, first_sf = self._sf_multi_step(
@@ -265,11 +300,9 @@ class SceneFlowMotionFieldStep:
         if self.cfg.use_motion_seg:
             sf_1_2 = sf_1_2 * batch["motion_seg_1"]
 
-        pred = scene_flow_projection(
-            depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2, sf_1_2
-        )
+        pred = projection_stage(depth_1, depth_2, cam_2, sf_1_2, stage)
         pred["sf_1_2"] = sf_1_2
-        pred["sf_by_dep_1_2"] = dflow["sf_by_depth"]
+        pred["sf_by_dep_1_2"] = stage["sf_by_depth"]
         pred["global_p1"] = global_p1
         pred["_first_sf"] = first_sf
         return pred

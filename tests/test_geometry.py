@@ -214,3 +214,60 @@ def test_scene_flow_projection_matches_reference(rng):
         np.testing.assert_allclose(
             np.asarray(mine), theirs, rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+def test_merged_stages_match_composition(rng):
+    """depth_warp_stage + projection_stage (one shared 4-channel warp, the
+    warp-linearity identity warp(R p + t) = R warp(p) + t) must reproduce
+    flow_by_depth + scene_flow_projection exactly — values AND gradients
+    w.r.t. both depths."""
+    import jax
+
+    from dynamic_video_depth_tpu.ops import depth_warp_stage, projection_stage
+
+    b, h, w = 1, 12, 16
+    cam_1 = random_camera(rng, b)
+    cam_2 = random_camera(rng, b)
+    depth_1 = jnp.asarray((1.0 + rng.rand(b, h, w) * 5).astype(np.float32))
+    depth_2 = jnp.asarray((1.0 + rng.rand(b, h, w) * 5).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, h, w, 2) * 2).astype(np.float32))
+    sf = jnp.asarray((rng.randn(b, h, w, 3) * 0.05).astype(np.float32))
+
+    old_fbd = flow_by_depth(depth_1, depth_2, flow, cam_1, cam_2)
+    old_proj = scene_flow_projection(depth_1, depth_2, flow, cam_1, cam_2, sf)
+
+    stage = depth_warp_stage(depth_1, depth_2, flow, cam_1, cam_2)
+    new_proj = projection_stage(depth_1, depth_2, cam_2, sf, stage)
+
+    np.testing.assert_allclose(np.asarray(stage["global_p1"]),
+                               np.asarray(old_fbd["global_p1"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stage["sf_by_depth"]),
+                               np.asarray(old_fbd["sf_by_depth"]),
+                               rtol=1e-4, atol=1e-5)
+    for k in old_proj:
+        np.testing.assert_allclose(
+            np.asarray(new_proj[k]), np.asarray(old_proj[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+    # gradient parity through the warp (depth_2 feeds the warped buffer)
+    def loss_old(d1, d2):
+        fbd = flow_by_depth(d1, d2, flow, cam_1, cam_2)
+        pr = scene_flow_projection(d1, d2, flow, cam_1, cam_2, sf)
+        return (jnp.sum(jnp.abs(fbd["sf_by_depth"]))
+                + jnp.sum(jnp.abs(pr["dflow_1_2"]))
+                + jnp.sum(jnp.abs(pr["depth_warp_1_2"])))
+
+    def loss_new(d1, d2):
+        st = depth_warp_stage(d1, d2, flow, cam_1, cam_2)
+        pr = projection_stage(d1, d2, cam_2, sf, st)
+        return (jnp.sum(jnp.abs(st["sf_by_depth"]))
+                + jnp.sum(jnp.abs(pr["dflow_1_2"]))
+                + jnp.sum(jnp.abs(pr["depth_warp_1_2"])))
+
+    g_old = jax.grad(loss_old, argnums=(0, 1))(depth_1, depth_2)
+    g_new = jax.grad(loss_new, argnums=(0, 1))(depth_1, depth_2)
+    for a, b_ in zip(g_old, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -9,7 +9,7 @@ from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
 from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
 
 
-def cfg(use_pallas):
+def cfg(use_pallas, use_pallas_warp=False, warp_window=None):
     return TrainStepConfig(
         lr=1e-4, scene_lr_mul=10.0, depth_net="tiny",
         net_width=32, n_layers=2, n_freq_xyz=4, n_freq_t=2,
@@ -17,6 +17,8 @@ def cfg(use_pallas):
                         use_disp=True, midas=False),
         compute_dtype="float32",
         use_pallas_sf="on" if use_pallas else "off",
+        use_pallas_warp="on" if use_pallas_warp else "off",
+        pallas_warp_window=warp_window,
     )
 
 
@@ -49,5 +51,39 @@ def test_pallas_step_matches_flax_step(rng):
                                    rtol=1e-4, atol=1e-6)
     for a, b in zip(jax.tree.leaves(ref_state.params_depth),
                     jax.tree.leaves(pl_state.params_depth)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_warp_step_matches_xla_step(rng):
+    """The fused-Pallas warp path (gather-free tent-matmul warp with a
+    src-only VJP) must produce the same training step — same loss AND same
+    parameter updates — as the XLA grid-sample path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    step_ref = SceneFlowMotionFieldStep(cfg(False))
+    state0 = step_ref.init_state(jax.random.PRNGKey(5), batch["img_1"])
+    ref_state, ref_logs = step_ref.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+    )
+
+    step_pl = SceneFlowMotionFieldStep(cfg(False, use_pallas_warp=True))
+    with pltpu.force_tpu_interpret_mode():
+        pl_state, pl_logs = step_pl.train_step(
+            jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+        )
+
+    np.testing.assert_allclose(float(pl_logs["loss"]), float(ref_logs["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params_depth),
+                    jax.tree.leaves(pl_state.params_depth)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params_sf),
+                    jax.tree.leaves(pl_state.params_sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
