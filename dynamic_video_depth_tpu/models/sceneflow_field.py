@@ -13,7 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .blocks import PeriodicEmbed, get_activation, kaiming_normal_torch
+from .blocks import PeriodicEmbed, get_activation, get_initializer
 
 
 class SceneFlowFieldNet(nn.Module):
@@ -34,6 +34,10 @@ class SceneFlowFieldNet(nn.Module):
     net_width: int = 32
     n_layers: int = 3
     activation: str = "lrelu"
+    # weight init (reference hardcodes kaiming(0.01, a=0.2) for this net,
+    # models/scene_flow_motion_field.py:123; --init_type overrides)
+    init_type: str = "kaiming"
+    init_param: float = 0.01
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -59,7 +63,7 @@ class SceneFlowFieldNet(nn.Module):
             feat = xyz_embedded
 
         act = get_activation(self.activation)
-        init = kaiming_normal_torch(a=0.2)
+        init = get_initializer(self.init_type, self.init_param, a=0.2)
         # n_layers + 2 Dense layers total, matching the reference conv stack.
         # Names mirror the torch keys 'convs.<i>.conv.weight' for the porter.
         feat = act(nn.Dense(self.net_width, kernel_init=init, name="convs__0__conv")(feat))

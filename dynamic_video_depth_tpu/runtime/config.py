@@ -61,7 +61,12 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--sgd_momentum", type=float, default=0.9)
     a("--sgd_dampening", type=float, default=0)
     a("--wdecay", type=float, default=0.0)
-    a("--init_type", type=str, default="normal")
+    a("--init_type", type=str, default="kaiming",
+      help="scene-flow net weight init (normal/xavier/kaiming/orth); the "
+           "reference declares default 'normal' but unconditionally "
+           "initializes its scene-flow net with kaiming (reference "
+           "models/scene_flow_motion_field.py:123) — we default to the "
+           "effective behavior and honor explicit overrides")
     # Mixed precision: on TPU this selects the conv compute dtype
     a("--mixed_precision_training", action="store_true",
       help="run depth-net convs in bfloat16 (f32 params/updates)")

@@ -104,6 +104,7 @@ class Model:
             n_freq_xyz=opt.n_freq_xyz,
             n_freq_t=opt.n_freq_t,
             n_down=opt.n_down,
+            init_type=getattr(opt, "init_type", "kaiming") or "kaiming",
             loss=LossConfig(
                 flow_mul=opt.flow_mul,
                 disp_mul=opt.disp_mul,
@@ -140,7 +141,9 @@ class Model:
                 used_pretrained = True
             else:
                 print(f"Warning: pretrained depth checkpoint {path} not found; "
-                      "using random init")
+                      "using random init. Fetch the official artifacts with "
+                      "scripts/download_data_and_depth_ckpt.sh or point "
+                      "DVD_MIDAS_CKPT / DVD_HOURGLASS_CKPT at them.")
         return used_pretrained
 
     def load_pretrained_depth(self, path: str):

@@ -67,6 +67,10 @@ class TrainStepConfig:
     n_down: int = 3
     net_width: int = 256
     n_layers: int = 4
+    # scene-flow net weight init (reference: init_weight kaiming(0.01, a=0.2),
+    # models/scene_flow_motion_field.py:123 + netinterface.py:55-84)
+    init_type: str = "kaiming"
+    init_param: float = 0.01
     midas_resize: Optional[Tuple[int, int]] = None
     # losses
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
@@ -130,6 +134,7 @@ class SceneFlowMotionFieldStep:
                 net_width=cfg.net_width, n_layers=cfg.n_layers,
                 time_dependent=cfg.time_dependent,
                 n_freq_xyz=cfg.n_freq_xyz, n_freq_t=cfg.n_freq_t,
+                init_type=cfg.init_type, init_param=cfg.init_param,
             )
         def make_tx(lr):
             if cfg.optim == "adam":

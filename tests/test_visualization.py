@@ -77,3 +77,35 @@ def test_html_builders(tmp_path):
     table.add_row(["c.png", "text"])
     table.save(str(tmp_path / "t.html"))
     assert "c.png" in open(tmp_path / "t.html").read()
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    """Middlebury .flo write/read round-trip + binary layout matching the
+    reference's readFlow (reference: util/util_flow.py:22-73)."""
+    from dynamic_video_depth_tpu.utils.flow_io import read_flo, write_flo
+
+    flow = rng.randn(6, 9, 2).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    write_flo(p, flow)
+    back = read_flo(p)
+    np.testing.assert_array_equal(back, flow)
+
+    raw = open(p, "rb").read()
+    assert np.frombuffer(raw[:4], "<f4")[0] == 202021.25
+    assert np.frombuffer(raw[4:12], "<i4").tolist() == [9, 6]
+
+    # the reference's own reader parses our files when available
+    import os, sys
+    if os.path.isdir("/root/reference"):
+        sys.path.insert(0, "/root/reference")
+        try:
+            from util.util_flow import readFlow
+            np.testing.assert_array_equal(readFlow(p), flow)
+        finally:
+            sys.path.remove("/root/reference")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bad = str(tmp_path / "bad.flo")
+        open(bad, "wb").write(b"\x00" * 12)
+        read_flo(bad)
