@@ -99,9 +99,20 @@ def make_raft_flow_fn(ckpt_path: str | None = None) -> Callable:
         if variables is None:
             variables = net.init(jax.random.PRNGKey(0), a[:1], b[:1], iters=1)
             if ckpt_path and os.path.isfile(ckpt_path):
+                from ..models.torch_port import unused_torch_keys
+
                 sd = load_torch_state_dict(ckpt_path)
+                # official raft-sintel.pth is saved from nn.DataParallel
+                # (reference: generate_flows.py:96-98)
                 sd = {k.removeprefix("module."): v for k, v in sd.items()}
                 variables = port_torch_variables(variables, sd)
+                leftovers = [k for k in unused_torch_keys(variables, sd)
+                             if "num_batches" not in k]
+                if leftovers:
+                    raise KeyError(
+                        f"RAFT checkpoint keys not consumed by the port "
+                        f"(layout drift?): {leftovers[:5]}"
+                    )
         out = np.asarray(apply(variables, a, b))
         return out[0], out[1]
 

@@ -158,6 +158,22 @@ class Model:
             # models/scene_flow_motion_field.py:121)
             sd = {"net_depth." + k: v for k, v in sd.items()}
         ported = port_torch_variables(variables, sd)
+        from ..models.torch_port import unused_torch_keys
+
+        # Keys legitimately unconsumed: torch BN bookkeeping, and MiDaS's
+        # refinenet4.resConfUnit1 (constructed but never called by the
+        # reference, third_party/midas_blocks.py:152-160). Anything else
+        # means the checkpoint layout drifted — fail loudly, a silently
+        # dropped weight corrupts every downstream result.
+        leftovers = [
+            k for k in unused_torch_keys(variables, sd)
+            if "num_batches" not in k and "refinenet4.resConfUnit1" not in k
+        ]
+        if leftovers:
+            raise KeyError(
+                f"depth checkpoint keys not consumed by the port "
+                f"(layout drift?): {leftovers[:5]}"
+            )
         self.state = self.state.replace(
             params_depth=ported["params"],
             stats_depth=ported.get("batch_stats", self.state.stats_depth),

@@ -56,3 +56,48 @@ def test_raft_full_network_parity(rng):
         np.asarray(flow_up), tf_up.permute(0, 2, 3, 1).numpy(),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_official_ckpt_format_loads_through_flow_fn(tmp_path, rng, monkeypatch):
+    """The official raft-sintel.pth is saved from nn.DataParallel — every
+    key carries a 'module.' prefix (reference: generate_flows.py:96-98).
+    make_raft_flow_fn must consume EVERY key of that layout (it raises on
+    leftovers), and the resulting flow must match the torch replica."""
+    from dynamic_video_depth_tpu.preprocess import flows as flows_mod
+
+    torch.manual_seed(1)
+    tnet = TorchRAFT().eval()
+    dp_sd = {"module." + k: v for k, v in tnet.state_dict().items()}
+    ckpt = str(tmp_path / "raft-sintel.pth")
+    torch.save(dp_sd, ckpt)
+
+    # small working resolution for the test (multiple of 8, large
+    # enough for the 4-level pyramid pooling)
+    monkeypatch.setattr(flows_mod, "RAFT_RES", (64, 96))
+    monkeypatch.setattr(flows_mod, "RAFT_ITERS", 2)
+    flow_fn = flows_mod.make_raft_flow_fn(ckpt)
+
+    im1 = (rng.rand(64, 96, 3) * 255).astype(np.float32)
+    im2 = (rng.rand(64, 96, 3) * 255).astype(np.float32)
+    fwd, bwd = flow_fn(im1, im2)
+    assert fwd.shape == (64, 96, 2) and bwd.shape == (64, 96, 2)
+
+    with torch.no_grad():
+        _, ref = tnet(
+            torch.from_numpy(im1[None]).permute(0, 3, 1, 2),
+            torch.from_numpy(im2[None]).permute(0, 3, 1, 2),
+            iters=2,
+        )
+    np.testing.assert_allclose(
+        fwd, ref.permute(0, 2, 3, 1).numpy()[0], rtol=1e-3, atol=1e-3
+    )
+
+    # a checkpoint with an extra (would-be silently dropped) key must fail
+    bad_sd = dict(dp_sd)
+    bad_sd["module.update_block.phantom.weight"] = torch.zeros(1)
+    bad = str(tmp_path / "bad.pth")
+    torch.save(bad_sd, bad)
+    flow_fn_bad = flows_mod.make_raft_flow_fn(bad)
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="not consumed"):
+        flow_fn_bad(im1, im2)
