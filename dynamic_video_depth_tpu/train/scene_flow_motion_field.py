@@ -160,14 +160,18 @@ class Model:
         ported = port_torch_variables(variables, sd)
         from ..models.torch_port import unused_torch_keys
 
-        # Keys legitimately unconsumed: torch BN bookkeeping, and MiDaS's
+        # Keys legitimately unconsumed: torch BN bookkeeping, MiDaS's
         # refinenet4.resConfUnit1 (constructed but never called by the
-        # reference, third_party/midas_blocks.py:152-160). Anything else
-        # means the checkpoint layout drifted — fail loudly, a silently
-        # dropped weight corrupts every downstream result.
+        # reference, third_party/midas_blocks.py:152-160), and the
+        # hourglass's uncertainty_layer (constructed, never used in forward,
+        # third_party/hourglass.py:172-188). Anything else means the
+        # checkpoint layout drifted — fail loudly, a silently dropped
+        # weight corrupts every downstream result.
+        allowed = ("num_batches", "refinenet4.resConfUnit1",
+                   "uncertainty_layer")
         leftovers = [
             k for k in unused_torch_keys(variables, sd)
-            if "num_batches" not in k and "refinenet4.resConfUnit1" not in k
+            if not any(a in k for a in allowed)
         ]
         if leftovers:
             raise KeyError(
