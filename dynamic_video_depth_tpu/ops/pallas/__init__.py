@@ -9,7 +9,13 @@
   a custom VJP w.r.t. the warped buffer.
 """
 
+from .correlation import fused_lookup_correlation
 from .mlp_kernel import fused_mlp, fused_mlp_reference
 from .warp_kernel import fused_backward_warp
 
-__all__ = ["fused_mlp", "fused_mlp_reference", "fused_backward_warp"]
+__all__ = [
+    "fused_lookup_correlation",
+    "fused_mlp",
+    "fused_mlp_reference",
+    "fused_backward_warp",
+]
