@@ -179,3 +179,31 @@ def test_data_parallel_matches_single_device(tracks):
                      jax.tree.leaves(dp_state.params_sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fleet_cache_steady_state_no_host_transfers(tracks, monkeypatch):
+    """After the first epoch touches every pair, fleet batch assembly must
+    be zero-copy: no jax.device_put of host data at all (the VERDICT-r1
+    fleet loop re-staged V full batches from host every step)."""
+    from dynamic_video_depth_tpu.data import prefetch as prefetch_mod
+    from dynamic_video_depth_tpu.data.prefetch import FleetBatchCache
+
+    names = ["vid_a", "vid_b"]
+    opts = [argparse.Namespace(
+        track_id=n, gaps="1", repeat=1, subsample=False, cache=False,
+        overfit=False, capat=1, select=False, data_root=tracks,
+    ) for n in names]
+    datasets = [get_dataset("davis_sequence")(o, mode="train") for o in opts]
+    mesh = make_mesh([("video", 2)])
+    cache = FleetBatchCache(datasets, mesh)
+    for i in range(len(datasets[0])):
+        cache.stacked([i, i])  # warm every pair into device memory
+
+    calls = []
+    real_put = jax.device_put
+    monkeypatch.setattr(jax, "device_put", lambda *a, **k: (
+        calls.append(a), real_put(*a, **k))[1])
+    for i in range(len(datasets[0])):
+        out = cache.stacked([i, i])
+    assert not calls, f"steady-state fleet step staged {len(calls)} host transfers"
+    assert out["img_1"].shape[0] == 2
