@@ -55,17 +55,20 @@ def _pad_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _sample_coords(flow_ref, h, w, rows):
+def _sample_coords(flow_ref, h, w, wp, rows):
     """Clamped bilinear corner indices/weights for the current output row
-    block, in lane layout ``[1, N]`` (N = rows*w). Mosaic supports the
-    sublane->lane merge reshape; the ``[N, 1]`` sublane layout and
-    transposes are NOT reliable on this backend, so everything per-point
-    lives in lanes. flow_ref block: [1, 1, 2, N] (flattened row block)."""
-    n = rows * w
+    block, in lane layout ``[1, N]`` (N = rows*wp). Mosaic supports the
+    sublane->lane merge reshape ONLY for whole-vreg lane dims, so the width
+    is zero-padded to a multiple of 128 (``wp``) by the wrapper; clamping
+    uses the REAL width ``w``, and padded columns produce garbage that the
+    wrapper slices off. The ``[N, 1]`` sublane layout and transposes are NOT
+    reliable on this backend, so everything per-point lives in lanes.
+    flow_ref block: [1, 1, 2, N] (flattened row block)."""
+    n = rows * wp
     row0 = pl.program_id(1) * rows
     # Mosaic iota is integer-only; cast to float for the coordinate math.
-    base_x = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1).astype(jnp.float32).reshape(1, n)
-    base_y = (jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + row0).astype(jnp.float32).reshape(1, n)
+    base_x = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1).astype(jnp.float32).reshape(1, n)
+    base_y = (jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + row0).astype(jnp.float32).reshape(1, n)
     x = jnp.clip(base_x + flow_ref[0, 0, 0:1, :], 0.0, w - 1.0)
     y = jnp.clip(base_y + flow_ref[0, 0, 1:2, :], 0.0, h - 1.0)
     x0 = jnp.floor(x)
@@ -107,27 +110,29 @@ def _chunks(n):
     return [(i * size, size) for i in range(n // size)]
 
 
-def _tent_chunk(flow_ref, h, w, rows, win, off, lo, size):
-    """Tent matrices for point columns [lo, lo+size) of this row block."""
-    ix0, ix1, wx, iy0, iy1, wy = _sample_coords(flow_ref, h, w, rows)
+def _tent_chunk(flow_ref, h, w, wp, rows, win, off, lo, size):
+    """Tent matrices for point columns [lo, lo+size) of this row block.
+    wx rows span the PADDED width (to match the source window); indices are
+    clamped to the real width so padded rows carry zero weight."""
+    ix0, ix1, wx, iy0, iy1, wy = _sample_coords(flow_ref, h, w, wp, rows)
     sl = lambda a: a[:, lo:lo + size]
     iy0r = jnp.clip(sl(iy0) - off, 0, win - 1)
     iy1r = jnp.clip(sl(iy1) - off, 0, win - 1)
     wy_mat_t = _tent_matrix_t(iy0r, iy1r, sl(wy), win, size)  # [win, size]
-    wx_mat_t = _tent_matrix_t(sl(ix0), sl(ix1), sl(wx), w, size)  # [w, size]
+    wx_mat_t = _tent_matrix_t(sl(ix0), sl(ix1), sl(wx), wp, size)  # [wp, size]
     return wy_mat_t, wx_mat_t
 
 
-def _fwd_kernel(h, w, c, rows, win, src_ref, flow_ref, out_ref):
-    n = rows * w
-    _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, rows)
+def _fwd_kernel(h, w, wp, c, rows, win, src_ref, flow_ref, out_ref):
+    n = rows * wp
+    _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, wp, rows)
     off = _window_offset(iy0, h, win)
     for lo, size in _chunks(n):
-        wy_mat_t, wx_mat_t = _tent_chunk(flow_ref, h, w, rows, win, off,
+        wy_mat_t, wx_mat_t = _tent_chunk(flow_ref, h, w, wp, rows, win, off,
                                          lo, size)
         for ch in range(c):
-            window = src_ref[0, ch, pl.ds(off, win), :]  # [win, w]
-            # column mix on the MXU: [win, w] @ [w, size] -> [win, size].
+            window = src_ref[0, ch, pl.ds(off, win), :]  # [win, wp]
+            # column mix on the MXU: [win, wp] @ [wp, size] -> [win, size].
             # Geometry math pins full f32 matmul precision (the TPU default
             # truncates operands to bf16 — ~1e-2 error, unacceptable here).
             g1 = jnp.dot(window, wx_mat_t,
@@ -138,9 +143,9 @@ def _fwd_kernel(h, w, c, rows, win, src_ref, flow_ref, out_ref):
             out_ref[0, 0, ch:ch + 1, lo:lo + size] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(h, w, c, rows, win, flow_ref, g_ref, dsrc_ref):
-    n = rows * w
-    _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, rows)
+def _bwd_kernel(h, w, wp, c, rows, win, flow_ref, g_ref, dsrc_ref):
+    n = rows * wp
+    _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, wp, rows)
     off = _window_offset(iy0, h, win)
 
     @pl.when(pl.program_id(1) == 0)
@@ -148,12 +153,12 @@ def _bwd_kernel(h, w, c, rows, win, flow_ref, g_ref, dsrc_ref):
         dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
 
     for lo, size in _chunks(n):
-        wy_mat_t, wx_mat_t = _tent_chunk(flow_ref, h, w, rows, win, off,
+        wy_mat_t, wx_mat_t = _tent_chunk(flow_ref, h, w, wp, rows, win, off,
                                          lo, size)
         for ch in range(c):
             g = g_ref[0, 0, ch:ch + 1, lo:lo + size].astype(jnp.float32)
             dg1 = wy_mat_t * g  # [win, size]
-            # [win, size] x [w, size] contracted over the points -> [win, w]
+            # [win, size] x [wp, size] contracted over the points -> [win, wp]
             # (no transposes: they are unreliable on this backend)
             dwin = jax.lax.dot_general(
                 dg1, wx_mat_t,
@@ -179,10 +184,10 @@ def fused_backward_warp(src: jnp.ndarray, flow: jnp.ndarray,
 
 
 def _row_blocked(x_cf, hp, rows):
-    """[B, K, H(p), W] channel-first -> [B, HP/rows, K, rows*W] flattened
+    """[B, K, HP, WP] channel-first -> [B, HP/rows, K, rows*WP] flattened
     row blocks (row-major, so each block is contiguous)."""
-    b, k, _, w = x_cf.shape
-    x = x_cf.reshape(b, k, hp // rows, rows * w)
+    b, k, _, wp = x_cf.shape
+    x = x_cf.reshape(b, k, hp // rows, rows * wp)
     return jnp.transpose(x, (0, 2, 1, 3))
 
 
@@ -191,18 +196,20 @@ def _run_fwd(src, flow, window, rows):
     rows = _pad_to(rows, 8)  # Mosaic block sublane-dim constraint
     win = h if window is None else min(_pad_to(window, 8), h)
     hp = _pad_to(h, rows)
-    n = rows * w
+    wp = _pad_to(w, 128)  # whole-vreg lanes for the merge reshape
+    n = rows * wp
     src_cf = jnp.transpose(src, (0, 3, 1, 2))          # [B, C, H, W]
     flow_cf = jnp.transpose(flow, (0, 3, 1, 2))        # [B, 2, H, W]
-    if hp != h:
-        flow_cf = jnp.pad(flow_cf, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    src_cf = jnp.pad(src_cf, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    flow_cf = jnp.pad(flow_cf,
+                      ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     nblk = hp // rows
     flow_blk = _row_blocked(flow_cf, hp, rows)         # [B, NBLK, 2, N]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, h, w, c, rows, win),
+        functools.partial(_fwd_kernel, h, w, wp, c, rows, win),
         grid=(b, nblk),
         in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda bi, ri: (bi, 0, 0, 0),
+            pl.BlockSpec((1, c, h, wp), lambda bi, ri: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2, n), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -211,8 +218,8 @@ def _run_fwd(src, flow, window, rows):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nblk, c, n), src.dtype),
     )(src_cf, flow_blk)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, c, hp, w)
-    return jnp.transpose(out[:, :, :h, :], (0, 2, 3, 1))
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, c, hp, wp)
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
 
 
 def _warp_fwd(src, flow, window, rows):
@@ -226,18 +233,18 @@ def _warp_bwd(window, rows, flow, g):
     rows = _pad_to(rows, 8)  # Mosaic block sublane-dim constraint
     win = h if window is None else min(_pad_to(window, 8), h)
     hp = _pad_to(h, rows)
-    n = rows * w
+    wp = _pad_to(w, 128)  # whole-vreg lanes for the merge reshape
+    n = rows * wp
     flow_cf = jnp.transpose(flow, (0, 3, 1, 2))
     g_cf = jnp.transpose(g, (0, 3, 1, 2))
-    if hp != h:
-        pad = ((0, 0), (0, 0), (0, hp - h), (0, 0))
-        flow_cf = jnp.pad(flow_cf, pad)
-        g_cf = jnp.pad(g_cf, pad)  # zero rows contribute nothing
+    pad = ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
+    flow_cf = jnp.pad(flow_cf, pad)
+    g_cf = jnp.pad(g_cf, pad)  # zero rows/cols contribute nothing
     nblk = hp // rows
     flow_blk = _row_blocked(flow_cf, hp, rows)  # [B, NBLK, 2, N]
     g_blk = _row_blocked(g_cf, hp, rows)        # [B, NBLK, C, N]
     dsrc = pl.pallas_call(
-        functools.partial(_bwd_kernel, h, w, c, rows, win),
+        functools.partial(_bwd_kernel, h, w, wp, c, rows, win),
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec((1, 1, 2, n), lambda bi, ri: (bi, ri, 0, 0),
@@ -245,11 +252,11 @@ def _warp_bwd(window, rows, flow, g):
             pl.BlockSpec((1, 1, c, n), lambda bi, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, h, w), lambda bi, ri: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, c, h, wp), lambda bi, ri: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, wp), jnp.float32),
     )(flow_blk, g_blk)
-    dsrc = jnp.transpose(dsrc, (0, 2, 3, 1)).astype(src_dtype)
+    dsrc = jnp.transpose(dsrc[:, :, :, :w], (0, 2, 3, 1)).astype(src_dtype)
     return dsrc, jnp.zeros_like(flow)
 
 
