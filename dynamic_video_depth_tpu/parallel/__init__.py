@@ -11,12 +11,17 @@ The reference's only parallelism is (broken) multi-GPU DDP
 """
 
 from .mesh import make_mesh, video_sharding, replicate_sharding
-from .multi_video import MultiVideoOptimizer, DataParallelStep
+from .multi_video import (
+    DataParallelStep,
+    MultiVideoDataParallel,
+    MultiVideoOptimizer,
+)
 
 __all__ = [
     "make_mesh",
     "video_sharding",
     "replicate_sharding",
     "MultiVideoOptimizer",
+    "MultiVideoDataParallel",
     "DataParallelStep",
 ]

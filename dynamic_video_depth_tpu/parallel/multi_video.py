@@ -119,6 +119,113 @@ class MultiVideoOptimizer:
         return [tree_index(host, i) for i in range(v)]
 
 
+class MultiVideoDataParallel:
+    """2D scaling: V independent per-video optimizations, each data-parallel
+    over D chips, on a ``('video', 'data')`` mesh.
+
+    ``shard_map`` runs MANUAL over the video axis (one video per mesh row,
+    zero cross-video traffic) and leaves the data axis AUTOMATIC — XLA's
+    sharding propagation inserts the exact cross-chip reductions for the
+    globally-normalized masked losses and the gradient all-reduce over ICI
+    within each video row. This preserves exact single-device numerics
+    (the losses normalize by global mask mass, which a hand-written
+    psum-of-grads would get wrong).
+
+    States: leaves ``[V, ...]`` sharded ``P('video')`` (replicated over
+    data). Batches: leaves ``[V, B, ...]`` sharded ``P('video', 'data')``
+    (B divisible by D); rank-1 per-video leaves ``[V]`` ride ``P('video')``.
+    """
+
+    def __init__(self, step: SceneFlowMotionFieldStep, mesh: Mesh,
+                 video_axis: str = "video", data_axis: str = "data"):
+        self.step = step
+        self.mesh = mesh
+        self.video_axis = video_axis
+        self.data_axis = data_axis
+        self.n_videos = mesh.shape[video_axis]
+        self.n_data = mesh.shape[data_axis]
+
+    def state_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.video_axis))
+
+    def _batch_spec(self, leaf) -> P:
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[1] % self.n_data == 0:
+            return P(self.video_axis, self.data_axis)
+        return P(self.video_axis)
+
+    def place(self, states, batches):
+        """Shard stacked states/batches onto the 2D mesh. Batch leaves with
+        a non-divisible pair dim raise (no silent replication)."""
+        states = jax.device_put(states, self.state_sharding())
+        out = {}
+        for k, v in batches.items():
+            if getattr(v, "ndim", 0) >= 2 and v.shape[1] % self.n_data != 0:
+                raise ValueError(
+                    f"batch[{k!r}] pair dim {v.shape[1]} not divisible by "
+                    f"data-axis size {self.n_data}"
+                )
+            out[k] = jax.device_put(
+                v, NamedSharding(self.mesh, self._batch_spec(v))
+            )
+        return states, out
+
+    def _shard_map(self, fn, in_specs, out_specs):
+        from jax import shard_map
+
+        try:
+            return shard_map(
+                fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                axis_names=frozenset({self.video_axis}), check_vma=False,
+            )
+        except TypeError:  # older jax: manual over all mesh axes unsupported
+            raise NotImplementedError(
+                "MultiVideoDataParallel needs jax.shard_map with axis_names"
+            )
+
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+             donate_argnames=("states",))
+    def train_step(self, states: TrainState, batches: Dict[str, jnp.ndarray],
+                   steps: int, warm: bool):
+        # in_specs may only name the MANUAL axis; the data-axis sharding is
+        # carried by the arrays themselves (place()) and handled by XLA
+        # propagation inside the per-video body
+        state_specs = jax.tree.map(lambda _: P(self.video_axis), states)
+        batch_specs = {k: P(self.video_axis) for k in batches}
+
+        def per_video(states_slice, batches_slice):
+            s = jax.tree.map(lambda x: x[0], states_slice)
+            b = jax.tree.map(lambda x: x[0], batches_slice)
+            ns, logs = self.step.train_step_impl(s, b, steps, warm)
+            expand = lambda x: jnp.asarray(x)[None]
+            return jax.tree.map(expand, ns), jax.tree.map(expand, logs)
+
+        fn = self._shard_map(
+            per_video,
+            in_specs=(state_specs, batch_specs),
+            out_specs=(state_specs, P(self.video_axis)),
+        )
+        return fn(states, batches)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def vali_step(self, states: TrainState, batches: Dict[str, jnp.ndarray]):
+        state_specs = jax.tree.map(lambda _: P(self.video_axis), states)
+        batch_specs = {k: P(self.video_axis) for k in batches}
+
+        def per_video(states_slice, batches_slice):
+            s = jax.tree.map(lambda x: x[0], states_slice)
+            b = jax.tree.map(lambda x: x[0], batches_slice)
+            pred, logs = self.step.vali_step_impl(s, b)
+            expand = lambda x: jnp.asarray(x)[None]
+            return jax.tree.map(expand, pred), jax.tree.map(expand, logs)
+
+        fn = self._shard_map(
+            per_video,
+            in_specs=(state_specs, batch_specs),
+            out_specs=(P(self.video_axis), P(self.video_axis)),
+        )
+        return fn(states, batches)
+
+
 class DataParallelStep:
     """Same-video data parallelism: pair batch sharded over ``data``,
     parameters replicated, gradient all-reduce inserted by XLA."""

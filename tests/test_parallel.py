@@ -207,3 +207,71 @@ def test_fleet_cache_steady_state_no_host_transfers(tracks, monkeypatch):
         out = cache.stacked([i, i])
     assert not calls, f"steady-state fleet step staged {len(calls)} host transfers"
     assert out["img_1"].shape[0] == 2
+
+
+def test_multi_video_data_parallel_2d_matches_single(tracks):
+    """4 videos x 2-way same-video DP on a (video=4, data=2) 2D mesh must
+    equal 4 independent full-batch single-device steps exactly (the data
+    axis is left to XLA sharding propagation inside the manual-video
+    shard_map, so the globally-normalized masked losses stay exact)."""
+    from dynamic_video_depth_tpu.parallel import MultiVideoDataParallel
+
+    assert len(jax.devices()) >= 8
+    names = ["vid_a", "vid_b", "vid_c", "vid_d"]
+    batches = load_video_batches(tracks, names)
+    # tile every video's pair batch to B=2 so the data axis has work
+    batches = [
+        jax.tree.map(
+            lambda x: jnp.concatenate([x] * 2, 0)
+            if getattr(x, "ndim", 0) >= 1 and x.shape and x.shape[0] == 1
+            else x, b)
+        for b in batches
+    ]
+    step = SceneFlowMotionFieldStep(small_cfg())
+
+    singles = []
+    for i, b in enumerate(batches):
+        st = step.init_state(jax.random.PRNGKey(200 + i), b["img_1"])
+        st2, logs = step.train_step(st, b, steps=1, warm=False)
+        singles.append((st2, logs))
+
+    mesh = make_mesh([("video", 4), ("data", 2)])
+    mv2d = MultiVideoDataParallel(step, mesh)
+    states = tree_stack([
+        step.init_state(jax.random.PRNGKey(200 + i), b["img_1"])
+        for i, b in enumerate(batches)
+    ])
+    stacked = tree_stack(batches)
+    states, stacked = mv2d.place(states, stacked)
+    new_states, logs = mv2d.train_step(states, stacked, steps=1, warm=False)
+
+    for i in range(4):
+        ref_state, ref_logs = singles[i]
+        np.testing.assert_allclose(
+            float(np.asarray(logs["loss"])[i]), float(ref_logs["loss"]),
+            rtol=1e-5,
+        )
+        for a, b_ in zip(jax.tree.leaves(ref_state.params_sf),
+                         jax.tree.leaves(tree_index(new_states, i).params_sf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(ref_state.params_depth),
+                         jax.tree.leaves(tree_index(new_states, i).params_depth)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_multi_video_data_parallel_rejects_indivisible(tracks):
+    from dynamic_video_depth_tpu.parallel import MultiVideoDataParallel
+
+    names = ["vid_a", "vid_b", "vid_c", "vid_d"]
+    batches = load_video_batches(tracks, names)  # B=1, data axis 2
+    step = SceneFlowMotionFieldStep(small_cfg())
+    mesh = make_mesh([("video", 4), ("data", 2)])
+    mv2d = MultiVideoDataParallel(step, mesh)
+    states = tree_stack([
+        step.init_state(jax.random.PRNGKey(i), b["img_1"])
+        for i, b in enumerate(batches)
+    ])
+    with pytest.raises(ValueError, match="not divisible"):
+        mv2d.place(states, tree_stack(batches))
