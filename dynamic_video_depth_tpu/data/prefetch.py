@@ -14,6 +14,7 @@ import threading
 from typing import Dict, Iterator, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 _HOST_KEYS_SKIP = ("pair_path", "steps")
@@ -157,6 +158,32 @@ class FleetBatchCache:
             global_shape = (len(shards),) + tuple(first.shape[1:])
             out[k] = jax.make_array_from_single_device_arrays(
                 global_shape, self._sharding, shards
+            )
+        return out
+
+    def stacked_chunk(self, idx_lists: Sequence[Sequence]) -> Dict:
+        """Chunk of K fleet batches for ``train_step_scan``: idx_lists is K
+        lists of V per-video indices; leaves come out ``[K, V, ...]``
+        sharded ``P(None, video)`` — per-video stacking happens on each
+        video's own device, the global array is assembled zero-copy."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        k = len(idx_lists)
+        v = len(self.datasets)
+        sharding = NamedSharding(self.mesh, PartitionSpec(None, self.axis))
+        per_video_chunks = []
+        for vi in range(v):
+            batches = [self._video_batch(vi, idxs[vi]) for idxs in idx_lists]
+            per_video_chunks.append({
+                key: jnp.stack([b[key] for b in batches])  # [K, 1, ...]
+                for key in batches[0]
+            })
+        out = {}
+        for key, first in per_video_chunks[0].items():
+            shards = [pv[key] for pv in per_video_chunks]
+            global_shape = (k, v) + tuple(first.shape[2:])
+            out[key] = jax.make_array_from_single_device_arrays(
+                global_shape, sharding, shards
             )
         return out
 

@@ -112,6 +112,35 @@ class MultiVideoOptimizer:
                         out_specs=(spec, spec))
         return fn(states, batches)
 
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+             donate_argnames=("states",))
+    def train_step_scan(self, states: TrainState,
+                        batches: Dict[str, jnp.ndarray], steps: int,
+                        warm: bool):
+        """K lockstep steps per video in ONE dispatch: batch leaves are
+        ``[K, V, ...]`` (sharded ``P(None, 'video')``), the per-chip body
+        scans its K same-gap batches (mirrors the single-video
+        ``--steps_per_dispatch`` path, train/step.py train_step_scan).
+        Returns (states, packed logs ``[V, K, n_metrics]``)."""
+
+        def per_chip(states_slice, batches_slice):
+            s = jax.tree.map(lambda x: x[0], states_slice)
+            b = jax.tree.map(lambda x: x[:, 0], batches_slice)  # [K, ...]
+
+            def body(ss, bb):
+                ns, logs = self.step.train_step_impl(ss, bb, steps, warm)
+                return ns, logs["_packed"]
+
+            s2, packed = jax.lax.scan(body, s, b)
+            expand = lambda x: jnp.asarray(x)[None]
+            return jax.tree.map(expand, s2), packed[None]
+
+        spec = P(self.video_axis)
+        fn = _shard_map(per_chip, self.mesh,
+                        in_specs=(spec, P(None, self.video_axis)),
+                        out_specs=(spec, spec))
+        return fn(states, batches)
+
     def gather_states(self, states: TrainState) -> List[TrainState]:
         """Stacked device states -> list of host per-video states."""
         host = jax.device_get(states)

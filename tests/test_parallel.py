@@ -275,3 +275,61 @@ def test_multi_video_data_parallel_rejects_indivisible(tracks):
     ])
     with pytest.raises(ValueError, match="not divisible"):
         mv2d.place(states, tree_stack(batches))
+
+
+def test_fleet_scan_matches_sequential_steps(tracks):
+    """K fleet steps in one dispatch (train_step_scan over a device-cached
+    [K, V, ...] chunk) must equal K sequential fleet steps exactly."""
+    from dynamic_video_depth_tpu.data.prefetch import FleetBatchCache
+
+    names = ["vid_a", "vid_b", "vid_c", "vid_d"]
+    opts = [argparse.Namespace(
+        track_id=n, gaps="1", repeat=1, subsample=False, cache=False,
+        overfit=False, capat=1, select=False, data_root=tracks,
+    ) for n in names]
+    datasets = [get_dataset("davis_sequence")(o, mode="train") for o in opts]
+    mesh = make_mesh([("video", 4)])
+    cache = FleetBatchCache(datasets, mesh)
+    step = SceneFlowMotionFieldStep(small_cfg())
+    mv = MultiVideoOptimizer(step, mesh)
+
+    idx_lists = [[0, 1, 0, 2], [1, 0, 2, 0], [2, 2, 1, 1]]
+    states0 = tree_stack([
+        step.init_state(jax.random.PRNGKey(300 + i),
+                        np.asarray(datasets[i][0]["img_1"]))
+        for i in range(4)
+    ])
+
+    # sequential reference
+    s_ref = jax.device_put(jax.tree.map(jnp.copy, states0),
+                           mv.state_sharding())
+    seq_losses = []
+    for idxs in idx_lists:
+        s_ref, logs = mv.train_step(s_ref, cache.stacked(idxs), steps=1,
+                                    warm=False)
+        seq_losses.append(np.asarray(logs["loss"]))
+
+    # one scanned dispatch
+    s_scan = jax.device_put(jax.tree.map(jnp.copy, states0),
+                            mv.state_sharding())
+    chunk = cache.stacked_chunk(idx_lists)
+    assert chunk["img_1"].shape[:2] == (3, 4)
+    s_scan, packed = mv.train_step_scan(s_scan, chunk, steps=1, warm=False)
+    assert packed.shape[:2] == (4, 3)  # [V, K, n_metrics]
+
+    # per-step losses recoverable from the packed matrix
+    _, logs_probe = step.train_step(
+        step.init_state(jax.random.PRNGKey(0),
+                        np.asarray(datasets[0][0]["img_1"])),
+        {k: jnp.asarray(v) for k, v in datasets[0][0].items()
+         if k not in ("pair_path", "steps")}, steps=1, warm=False)
+    keys = sorted(k for k in logs_probe if k != "_packed")
+    li = keys.index("loss")
+    for ki in range(3):
+        np.testing.assert_allclose(np.asarray(packed)[:, ki, li],
+                                   seq_losses[ki], rtol=1e-5)
+
+    for a, b_ in zip(jax.tree.leaves(s_ref.params_sf),
+                     jax.tree.leaves(s_scan.params_sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)

@@ -173,22 +173,49 @@ def main():
     train_cache = FleetBatchCache(datasets, mesh)
     vali_cache = FleetBatchCache(vali_sets, mesh)
 
+    spd = max(int(getattr(opt, "steps_per_dispatch", 1) or 1), 1)
+    metric_keys = None
+
     for epoch in range(start_epoch, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
         logger.on_epoch_begin(epoch)
         n_steps = opt.epoch_batches or min(len(d) for d in datasets)
-        for it_ in range(n_steps):
+        it_ = 0
+        while it_ < n_steps:
             gap = gaps[rng.choice(len(gaps), p=gap_probs)]
-            idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
-                    for vi in range(n_videos)]
-            stacked = train_cache.stacked(idxs)
-            states, logs = fleet.train_step(states, stacked,
-                                            steps=int(round(gap / datasets[0].unit)),
-                                            warm=warm)
-            mean_logs = {k: float(np.mean(np.asarray(v)))
-                         for k, v in logs.items() if k != "_packed"}
-            mean_logs["size"] = n_videos
-            logger.on_batch_end(it_, mean_logs)
+            euler_steps = int(round(gap / datasets[0].unit))
+            k = min(spd, n_steps - it_)
+            if k > 1:
+                # K same-gap lockstep steps in ONE dispatch (lax.scan)
+                idx_lists = [
+                    [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                     for vi in range(n_videos)]
+                    for _ in range(k)
+                ]
+                chunk = train_cache.stacked_chunk(idx_lists)
+                states, packed = fleet.train_step_scan(
+                    states, chunk, steps=euler_steps, warm=warm)
+                if metric_keys is None:
+                    metric_keys = sorted(base.metrics_packed)
+                packed = np.asarray(packed)  # [V, K, n_metrics]
+                for ki in range(k):
+                    mean_logs = {
+                        mk: float(np.mean(packed[:, ki, mi]))
+                        for mi, mk in enumerate(metric_keys)
+                    }
+                    mean_logs["size"] = n_videos
+                    logger.on_batch_end(it_ + ki, mean_logs)
+            else:
+                idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                        for vi in range(n_videos)]
+                stacked = train_cache.stacked(idxs)
+                states, logs = fleet.train_step(states, stacked,
+                                                steps=euler_steps, warm=warm)
+                mean_logs = {mk: float(np.mean(np.asarray(v)))
+                             for mk, v in logs.items() if mk != "_packed"}
+                mean_logs["size"] = n_videos
+                logger.on_batch_end(it_, mean_logs)
+            it_ += k
         # lockstep per-video validation (masked disparity MSE, reference's
         # model-selection metric) over the common frame count
         n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
