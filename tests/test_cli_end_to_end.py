@@ -1,0 +1,89 @@
+"""End-to-end CLI regression: train.py (fresh + resume) and test.py driven
+as real subprocesses on a synthetic fixture, asserting the artifact set and
+the reference test-dump schema (the round-1 sf_1_2 tuple bug shipped
+because nothing exercised test.py's npz output in the suite)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, cwd):
+    env = dict(os.environ)
+    env["DVD_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
+                          text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    return proc.stdout + proc.stderr
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    from dynamic_video_depth_tpu.data.synthetic import make_track
+
+    make_track(str(root / "datafiles" / "davis_processed"), track="dog",
+               n_frames=8, h=32, w=48, gaps=(1, 2))
+    return root
+
+
+TRAIN_ARGS = [
+    "--net", "scene_flow_motion_field", "--dataset", "davis_sequence",
+    "--track_id", "dog", "--epoch_batches", "4", "--vali_batches", "2",
+    "--batch_size", "1", "--lr", "1e-4", "--scene_lr_mul", "10",
+    "--warm_sf", "1", "--time_dependent", "--gaps", "1,2", "--use_disp",
+    "--depth_net", "tiny", "--logdir", "./checkpoints",
+    "--suffix", "track_{track_id}",
+]
+LOGDIR = "checkpoints/scene_flow_motion_field_davis_sequence_track_dog/0"
+
+
+def test_train_fresh_and_resume(workdir):
+    run([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "2",
+         *TRAIN_ARGS], cwd=workdir)
+    logdir = workdir / LOGDIR
+    assert (logdir / "checkpoint.ckpt").is_file()
+    assert (logdir / "best.ckpt").is_file()
+    assert (logdir / "epoch_loss.csv").is_file()
+    assert (logdir / "opt.json").is_file()
+    best0 = json.load(open(logdir / "best.ckpt.json"))["best"]
+
+    out = run([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "4",
+               "--resume", "-1", *TRAIN_ARGS], cwd=workdir)
+    assert "Resumed from" in out
+    assert "Restored best vali loss" in out
+    meta = json.load(open(logdir / "checkpoint.ckpt.json"))
+    assert meta["epoch"] == 4
+    # best never regresses across the resume
+    best1 = json.load(open(logdir / "best.ckpt.json"))["best"]
+    assert best1 <= best0 + 1e-12
+
+
+def test_inference_cli_outputs(workdir):
+    logdir = workdir / LOGDIR
+    if not (logdir / "best.ckpt").is_file():
+        pytest.skip("training test did not run first")
+    run([sys.executable, os.path.join(REPO, "test.py"),
+         "--checkpoint_path", str(logdir), "--output_dir", "./test_out"],
+        cwd=workdir)
+    outdir = workdir / "test_out" / "epochbest_test"
+    npzs = sorted(outdir.glob("batch*.npz"))
+    assert len(npzs) == 8
+    d = np.load(npzs[0], allow_pickle=True)
+    # the reference test-dump schema (reference: models/video_base.py:105-155
+    # pack_output + test_on_batch)
+    assert d["depth"].shape == (1, 32, 48)
+    assert d["sf_1_2"].shape == (1, 32, 48, 3)
+    assert d["img_1"].shape == (1, 32, 48, 3)
+    assert d["cam_c2w"].shape == (1, 4, 4)
+    assert d["K"].shape == (1, 3, 3)
+    # accumulated per-epoch visualization page + rendered artifacts
+    assert (outdir / "index.html").is_file()
+    assert list((workdir / "test_out").glob("**/compare_*.png"))
