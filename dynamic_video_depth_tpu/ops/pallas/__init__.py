@@ -7,9 +7,14 @@
 - ``warp_kernel``: fused gather-free backward warp (the loss chain's
   grid-sample replaced by tent-weight MXU matmuls + VPU reductions), with
   a custom VJP w.r.t. the warped buffer.
+- ``loss_kernel``: fused scene-flow projection + occlusion-masked loss
+  reductions (advect, reproject, flow/disparity/scene-flow residuals) in
+  one VMEM-resident pass with a custom VJP — together these run the whole
+  loss graph between the depth CNN and the scalar losses in Pallas.
 """
 
 from .correlation import fused_lookup_correlation
+from .loss_kernel import fused_projection_loss, pack_camera
 from .mlp_kernel import fused_mlp, fused_mlp_reference
 from .warp_kernel import fused_backward_warp
 
@@ -18,4 +23,6 @@ __all__ = [
     "fused_mlp",
     "fused_mlp_reference",
     "fused_backward_warp",
+    "fused_projection_loss",
+    "pack_camera",
 ]

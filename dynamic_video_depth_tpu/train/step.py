@@ -81,6 +81,8 @@ class TrainStepConfig:
     use_pallas_sf: str = "auto"
     # fused Pallas backward warp ('auto' = on TPU backends only)
     use_pallas_warp: str = "auto"
+    # fused Pallas projection+loss reductions ('auto' = on TPU backends only)
+    use_pallas_loss: str = "auto"
     # source-row window of the fused warp; None = full height (always
     # exact), 64 covers any flow that varies < 48 px vertically within an
     # 8-row block (far beyond DAVIS working-resolution flows)
@@ -321,14 +323,79 @@ class SceneFlowMotionFieldStep:
         sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
         return self.cfg.loss.acc_mul * jnp.mean(jnp.abs(sf1 - sf0))
 
+    def _loss_use_pallas(self) -> bool:
+        mode = self.cfg.use_pallas_loss
+        if mode == "auto":
+            return jax.default_backend() not in ("cpu",)
+        return mode in ("1", "true", "on", "yes")
+
+    def _fused_loss_forward(self, params_depth, params_sf, stats_depth,
+                            batch, steps: int, warm: bool):
+        """Lean training-loss forward where everything between the depth CNN
+        and the scalar losses runs as Pallas kernels: fused 3-channel warp
+        (the vis-only warped depth is skipped), fused scene-flow MLP, and
+        the fused projection+loss kernel (ops/pallas/loss_kernel.py).
+        Produces exactly the losses/logs of the XLA path
+        (tests/test_pallas_step.py pins step-level parity)."""
+        from ..ops.geometry import camera_to_world, unproject_camera
+        from ..ops.grid_sample import backward_warp
+        from ..ops.pallas import fused_projection_loss, pack_camera
+        from .losses import _MASK_EPS
+
+        cfg = self.cfg.loss
+        cam_1, cam_2 = _batch_cameras(batch)
+        b = batch["img_1"].shape[0]
+        imgs = jnp.concatenate([batch["img_1"], batch["img_2"]], axis=0)
+        depths = self._apply_depth(params_depth, stats_depth, imgs)
+        depth_1, depth_2 = depths[:b], depths[b:]
+
+        flow = jax.lax.stop_gradient(batch["flow_1_2"])
+        p2_cam2 = unproject_camera(depth_2, cam_2)
+        warp_fn = self._warp_fn()
+        warped3 = (warp_fn or backward_warp)(p2_cam2, flow)
+
+        global_p1 = camera_to_world(unproject_camera(depth_1, cam_1), cam_1)
+        sf_1_2, first_sf = self._sf_multi_step(
+            params_sf, global_p1, batch["time_stamp_1"],
+            batch["time_step"], steps,
+        )
+        if self.cfg.use_motion_seg:
+            sf_1_2 = sf_1_2 * batch["motion_seg_1"]
+
+        sums = fused_projection_loss(
+            global_p1, warped3, sf_1_2, batch["flow_1_2"], batch["mask_2"],
+            jax.lax.stop_gradient(depth_1), pack_camera(cam_2),
+            cfg.use_disp, cfg.use_disp_ratio, cfg.midas, warm,
+        )
+        denom = sums[3] + _MASK_EPS
+        flow_loss = sums[0] / denom
+        disp_loss = sums[1] / denom
+        sf_loss = sums[2] / denom
+        second = disp_loss if cfg.use_disp else sf_loss
+        main = flow_loss * cfg.flow_mul + second * cfg.disp_mul
+        logs = {
+            "loss": main,
+            "flow_loss_1_2": flow_loss,
+            "disp_loss_1_2": disp_loss,
+            "sf_loss": sf_loss,
+        }
+        return main, logs, global_p1, first_sf
+
     def loss_and_logs(self, params_depth, params_sf, stats_depth, batch,
                       steps: int, warm: bool):
         cfg = self.cfg.loss
-        pred = self._forward(params_depth, params_sf, stats_depth, batch, steps)
-        first_sf = pred.pop("_first_sf", None)
-        main, logs = consistency_losses(
-            pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
-        )
+        if self._loss_use_pallas():
+            main, logs, global_p1, first_sf = self._fused_loss_forward(
+                params_depth, params_sf, stats_depth, batch, steps, warm
+            )
+            pred = {"global_p1": global_p1}
+        else:
+            pred = self._forward(params_depth, params_sf, stats_depth,
+                                 batch, steps)
+            first_sf = pred.pop("_first_sf", None)
+            main, logs = consistency_losses(
+                pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
+            )
         total = main * steps if cfg.weight_steps else main
 
         use_reg = (

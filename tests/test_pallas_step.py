@@ -9,15 +9,17 @@ from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
 from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
 
 
-def cfg(use_pallas, use_pallas_warp=False, warp_window=None):
+def cfg(use_pallas, use_pallas_warp=False, warp_window=None,
+        use_pallas_loss=False, midas_mask=False):
     return TrainStepConfig(
         lr=1e-4, scene_lr_mul=10.0, depth_net="tiny",
         net_width=32, n_layers=2, n_freq_xyz=4, n_freq_t=2,
         loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
-                        use_disp=True, midas=False),
+                        use_disp=True, midas=midas_mask),
         compute_dtype="float32",
         use_pallas_sf="on" if use_pallas else "off",
         use_pallas_warp="on" if use_pallas_warp else "off",
+        use_pallas_loss="on" if use_pallas_loss else "off",
         pallas_warp_window=warp_window,
     )
 
@@ -53,6 +55,49 @@ def test_pallas_step_matches_flax_step(rng):
                     jax.tree.leaves(pl_state.params_depth)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fully_fused_step_matches_xla_step(rng):
+    """The all-Pallas step — fused MLP + fused warp + fused projection+loss
+    kernel (the whole loss graph between the depth CNN and the scalars in
+    Pallas) — must produce the same loss, logs, AND parameter updates as the
+    all-XLA step, in both warm-up and main phases."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    for warm in (False, True):
+        step_ref = SceneFlowMotionFieldStep(cfg(False, midas_mask=True))
+        state0 = step_ref.init_state(jax.random.PRNGKey(7), batch["img_1"])
+        ref_state, ref_logs = step_ref.train_step(
+            jax.tree.map(jnp.copy, state0), batch, steps=2, warm=warm
+        )
+
+        step_pl = SceneFlowMotionFieldStep(
+            cfg(True, use_pallas_warp=True, use_pallas_loss=True,
+                midas_mask=True)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            pl_state, pl_logs = step_pl.train_step(
+                jax.tree.map(jnp.copy, state0), batch, steps=2, warm=warm
+            )
+
+        for k in ("loss", "flow_loss_1_2", "disp_loss_1_2", "sf_loss",
+                  "acc_reg"):
+            np.testing.assert_allclose(
+                float(pl_logs[k]), float(ref_logs[k]), rtol=1e-4,
+                atol=1e-7, err_msg=f"{k} warm={warm}",
+            )
+        for a, b in zip(jax.tree.leaves(ref_state.params_depth),
+                        jax.tree.leaves(pl_state.params_depth)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_state.params_sf),
+                        jax.tree.leaves(pl_state.params_sf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_pallas_warp_step_matches_xla_step(rng):
