@@ -484,8 +484,15 @@ class SceneFlowMotionFieldStep:
         """Prediction dict for visualization dumps (reference packs pred to
         host every batch, models/scene_flow_motion_field.py:201-202; we only
         run this on visualized batches)."""
-        return self._forward(state.params_depth, state.params_sf,
+        pred = self._forward(state.params_depth, state.params_sf,
                              state.stats_depth, batch, steps)
+        pred.pop("_first_sf", None)
+        # per-pixel scene-flow residual map the reference packs for analysis
+        # (reference: models/scene_flow_motion_field.py:306 sf_loss_pp)
+        pred["sf_loss_pp"] = jnp.sum(
+            jnp.abs(pred["sf_by_dep_1_2"] - pred["sf_1_2"]), axis=-1
+        )
+        return pred
 
     @partial(jax.jit, static_argnames=("self",))
     def predict(self, state: TrainState, batch: Dict[str, jnp.ndarray]):
