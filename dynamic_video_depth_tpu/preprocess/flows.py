@@ -74,21 +74,51 @@ def occlusion_masks(flow_1_2: np.ndarray, flow_2_1: np.ndarray, thresh=1.0):
     return mask_1.astype(np.uint8), mask_2.astype(np.uint8)
 
 
-def make_raft_flow_fn(ckpt_path: str | None = None) -> Callable:
+def _init_raft_variables(net, sample, ckpt_path: str | None):
+    """Init RAFT params, then port the official sintel checkpoint when given
+    (module.-prefixed nn.DataParallel layout, reference:
+    generate_flows.py:96-98). Raises if any official key goes unconsumed."""
+    import jax
+
+    variables = net.init(jax.random.PRNGKey(0), sample, sample, iters=1)
+    if ckpt_path and os.path.isfile(ckpt_path):
+        from ..models.torch_port import (
+            load_torch_state_dict,
+            port_torch_variables,
+            unused_torch_keys,
+        )
+
+        sd = load_torch_state_dict(ckpt_path)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        variables = port_torch_variables(variables, sd)
+        leftovers = [k for k in unused_torch_keys(variables, sd)
+                     if "num_batches" not in k]
+        if leftovers:
+            raise KeyError(
+                f"RAFT checkpoint keys not consumed by the port "
+                f"(layout drift?): {leftovers[:5]}"
+            )
+    return variables
+
+
+def make_raft_flow_fn(ckpt_path: str | None = None,
+                      iters: int | None = None) -> Callable:
     """Build a TPU RAFT flow predictor ``(im1, im2) -> flow [H, W, 2]``
     batching fwd+bwd directions into one call."""
     import jax
     import jax.numpy as jnp
 
     from ..models.raft import RAFT
-    from ..models.torch_port import load_torch_state_dict, port_torch_variables
 
     net = RAFT()
     variables = None
 
     @jax.jit
     def apply(v, im1, im2):
-        _, flow_up = net.apply(v, im1, im2, iters=RAFT_ITERS)
+        # None -> the module global, resolved at trace time so tests (and
+        # callers) may override RAFT_ITERS after import
+        _, flow_up = net.apply(v, im1, im2,
+                               iters=RAFT_ITERS if iters is None else iters)
         return flow_up
 
     def flow_fn(im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
@@ -97,46 +127,86 @@ def make_raft_flow_fn(ckpt_path: str | None = None) -> Callable:
         a = jnp.asarray(np.stack([im1, im2]), jnp.float32)
         b = jnp.asarray(np.stack([im2, im1]), jnp.float32)
         if variables is None:
-            variables = net.init(jax.random.PRNGKey(0), a[:1], b[:1], iters=1)
-            if ckpt_path and os.path.isfile(ckpt_path):
-                from ..models.torch_port import unused_torch_keys
-
-                sd = load_torch_state_dict(ckpt_path)
-                # official raft-sintel.pth is saved from nn.DataParallel
-                # (reference: generate_flows.py:96-98)
-                sd = {k.removeprefix("module."): v for k, v in sd.items()}
-                variables = port_torch_variables(variables, sd)
-                leftovers = [k for k in unused_torch_keys(variables, sd)
-                             if "num_batches" not in k]
-                if leftovers:
-                    raise KeyError(
-                        f"RAFT checkpoint keys not consumed by the port "
-                        f"(layout drift?): {leftovers[:5]}"
-                    )
+            variables = _init_raft_variables(net, a[:1], ckpt_path)
         out = np.asarray(apply(variables, a, b))
         return out[0], out[1]
 
     return flow_fn
 
 
-def generate_pair(flow_fn, im1_data: dict, im2_data: dict):
-    """One pair's flows + masks at the frame working resolution."""
+def make_raft_flow_batch_fn(ckpt_path: str | None = None, mesh=None,
+                            iters: int | None = None) -> Callable:
+    """Batched RAFT predictor ``(im1s, im2s) [N, H, W, 3] -> (f12s, f21s)``.
+
+    With a :class:`jax.sharding.Mesh` (axis ``'data'``), the ``2N``-image
+    batch (both directions of every pair) shards across the mesh so stage-2
+    preprocessing scales over a chip fleet the same way training does
+    (BASELINE config #4): params replicate, each chip runs RAFT on its
+    slice, no cross-chip traffic. ``N`` is padded up to the axis size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.raft import RAFT
+
+    net = RAFT()
+    variables = None
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def apply(v, a, b):
+        _, flow_up = net.apply(v, a, b,
+                               iters=RAFT_ITERS if iters is None else iters)
+        return flow_up
+
+    def flow_fn(im1s: np.ndarray, im2s: np.ndarray):
+        nonlocal variables
+        n = im1s.shape[0]
+        # both directions ride one batch: [fwd pairs; bwd pairs]
+        a = np.concatenate([im1s, im2s], axis=0).astype(np.float32)
+        b = np.concatenate([im2s, im1s], axis=0).astype(np.float32)
+        if shard is not None:
+            d = mesh.devices.size
+            pad = (-a.shape[0]) % d
+            if pad:
+                a = np.concatenate([a, a[:pad]], axis=0)
+                b = np.concatenate([b, b[:pad]], axis=0)
+            a = jax.device_put(jnp.asarray(a), shard)
+            b = jax.device_put(jnp.asarray(b), shard)
+        else:
+            a = jnp.asarray(a)
+            b = jnp.asarray(b)
+        if variables is None:
+            variables = _init_raft_variables(net, a[:1], ckpt_path)
+        out = np.asarray(apply(variables, a, b))
+        # rows [0, n) are forward flows, rows [n, 2n) backward flows
+        # (padding rows, if any, sit past 2n and are dropped)
+        return out[:n], out[n:2 * n]
+
+    return flow_fn
+
+
+def _prep_raft_input(frame_data: dict, raft_res=None) -> np.ndarray:
+    """Original-resolution frame -> [H, W, 3] float image in [0, 255] at the
+    RAFT inference resolution (reference: generate_flows.py:120-122)."""
     import jax.numpy as jnp
 
     from ..ops.resize import resize_bilinear
 
-    h, w = im1_data["img"].shape[:2]
+    raft_res = RAFT_RES if raft_res is None else raft_res
+    img = np.asarray(frame_data["img_orig"], np.float32) * 255.0
+    return np.asarray(resize_bilinear(jnp.asarray(img[None]), raft_res,
+                                      False)[0])
 
-    def prep(d):
-        img = np.asarray(d["img_orig"], np.float32) * 255.0
-        img_rs = np.asarray(resize_bilinear(
-            jnp.asarray(img[None]), RAFT_RES, False
-        )[0])
-        return img_rs
 
-    f12, f21 = flow_fn(prep(im1_data), prep(im2_data))
-    flow_1_2 = resize_flow(f12, (h, w))
-    flow_2_1 = resize_flow(f21, (h, w))
+def postprocess_pair(f12: np.ndarray, f21: np.ndarray, out_hw) -> dict:
+    """RAFT-resolution flows -> working-resolution flows + occlusion masks."""
+    flow_1_2 = resize_flow(f12, out_hw)
+    flow_2_1 = resize_flow(f21, out_hw)
     mask_1, mask_2 = occlusion_masks(flow_1_2, flow_2_1)
     return {
         "flow_1_2": flow_1_2.astype(np.float32),
@@ -146,20 +216,54 @@ def generate_pair(flow_fn, im1_data: dict, im2_data: dict):
     }
 
 
+def generate_pair(flow_fn, im1_data: dict, im2_data: dict,
+                  raft_res=None):
+    """One pair's flows + masks at the frame working resolution."""
+    h, w = im1_data["img"].shape[:2]
+    f12, f21 = flow_fn(_prep_raft_input(im1_data, raft_res),
+                       _prep_raft_input(im2_data, raft_res))
+    return postprocess_pair(f12, f21, (h, w))
+
+
 def process_track(frame_dir: str, out_dir: str,
                   gaps: Sequence[int] = (1, 2, 3, 4, 5, 6, 7, 8),
-                  ckpt_path: str | None = None):
-    """(reference :165-178)."""
+                  ckpt_path: str | None = None, mesh=None,
+                  batch_pairs: int | None = None, raft_res=None,
+                  iters: int | None = None):
+    """(reference :165-178). All (frame, gap) pairs of the track.
+
+    ``mesh``: a jax Mesh with a ``'data'`` axis shards the RAFT batch across
+    chips — the fleet analog of training's one-video-per-chip strategy (the
+    reference's shutterstock variant batches one source frame's gap targets
+    into one GPU call, generate_flows.py:112-163; here every chip takes a
+    slice of the full pair list). ``batch_pairs`` pairs go into each
+    dispatch (default: the mesh axis size, or 1 serially).
+    """
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(glob(join(frame_dir, "frame_*.npz")))
-    flow_fn = make_raft_flow_fn(ckpt_path)
+    if batch_pairs is None:
+        batch_pairs = int(mesh.devices.size) if mesh is not None else 1
+    flow_fn = make_raft_flow_batch_fn(ckpt_path, mesh, iters)
 
     def load(i):
         return dict(np.load(files[i], allow_pickle=True))
 
-    for g in gaps:
-        for k in range(len(files) - g):
-            out = generate_pair(flow_fn, load(k), load(k + g))
-            out["frame_id_1"] = k
-            out["frame_id_2"] = k + g
-            np.savez(join(out_dir, f"flowpair_{k:05d}_{k + g:05d}.npz"), **out)
+    h, w = load(0)["img"].shape[:2] if files else (0, 0)
+    prepped: dict[int, np.ndarray] = {}
+
+    def prep(i):
+        if i not in prepped:
+            prepped[i] = _prep_raft_input(load(i), raft_res)
+        return prepped[i]
+
+    pair_list = [(k, k + g) for g in gaps for k in range(len(files) - g)]
+    for lo in range(0, len(pair_list), batch_pairs):
+        chunk = pair_list[lo:lo + batch_pairs]
+        im1s = np.stack([prep(i) for i, _ in chunk])
+        im2s = np.stack([prep(j) for _, j in chunk])
+        f12s, f21s = flow_fn(im1s, im2s)
+        for (i, j), f12, f21 in zip(chunk, f12s, f21s):
+            out = postprocess_pair(f12, f21, (h, w))
+            out["frame_id_1"] = i
+            out["frame_id_2"] = j
+            np.savez(join(out_dir, f"flowpair_{i:05d}_{j:05d}.npz"), **out)

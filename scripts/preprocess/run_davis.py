@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--gaps", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--raft_ckpt", default="./third_party/RAFT/models/raft-sintel.pth")
     ap.add_argument("--stage", default="all", choices=["all", "frames", "flows", "pairs"])
+    ap.add_argument("--n_chips", type=int, default=0,
+                    help="shard stage-2 RAFT batches over this many devices "
+                         "(0 = serial single-device)")
     args = ap.parse_args()
 
     from dynamic_video_depth_tpu.preprocess import flows, frames as frames_mod, pairs
@@ -80,8 +83,13 @@ def main():
         print(f"stage 1 done: {len(imgs)} frames, scale {s:.4f}")
 
     if args.stage in ("all", "flows"):
+        mesh = None
+        if args.n_chips > 1:
+            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh([("data", args.n_chips)])
         flows.process_track(frame_dir, flow_dir, gaps=gaps,
-                            ckpt_path=args.raft_ckpt)
+                            ckpt_path=args.raft_ckpt, mesh=mesh)
         print("stage 2 done")
 
     if args.stage in ("all", "pairs"):

@@ -166,3 +166,42 @@ def test_shutterstock_track_by_index(tmp_path, rng):
     ds = get_dataset("shutterstock")(opt, mode="train")
     assert opt.track_id == "beta"
     assert len(ds) > 0 and "beta" in ds.file_list[0]
+
+
+def test_stage2_sharded_matches_serial(tmp_path, rng):
+    """Mesh-sharded stage-2 (RAFT batch split over the 'data' axis, one
+    pair slice per device) produces the same flow-pair artifacts as the
+    serial path (BASELINE config #4 at fleet scale). Random-init RAFT at a
+    tiny inference resolution; weights are identical in both paths (same
+    PRNGKey, same shapes)."""
+    from dynamic_video_depth_tpu.data.synthetic import make_track
+    from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+    root = str(tmp_path)
+    frame_dir, _ = make_track(root, track="dog", n_frames=4, h=32, w=48,
+                              gaps=(1,))
+
+    kw = dict(gaps=(1, 2), raft_res=(64, 96), iters=2)
+    out_serial = join(root, "flow_serial")
+    out_sharded = join(root, "flow_sharded")
+    flows_mod.process_track(frame_dir, out_serial, **kw)
+    mesh = make_mesh([("data", 8)])
+    flows_mod.process_track(frame_dir, out_sharded, mesh=mesh, **kw)
+
+    import os
+
+    names = sorted(os.listdir(out_serial))
+    assert names == sorted(os.listdir(out_sharded))
+    assert len(names) == 3 + 2  # gaps (1, 2) over 4 frames
+    for name in names:
+        a = dict(np.load(join(out_serial, name)))
+        b = dict(np.load(join(out_sharded, name)))
+        for k in ("flow_1_2", "flow_2_1"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{name}:{k}")
+        for k in ("mask_1", "mask_2"):
+            # thresholded masks: allow disagreement only on pixels whose
+            # consistency error sits within float noise of the threshold
+            assert np.abs(b[k].astype(np.int32)
+                          - a[k].astype(np.int32)).mean() < 0.01
+        assert int(a["frame_id_1"]) == int(b["frame_id_1"])
