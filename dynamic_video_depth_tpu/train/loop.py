@@ -249,6 +249,7 @@ class Trainer:
             logs = dict(zip(keys, vals[j]))
             logs["size"] = size
             logs["data_time"] = data_time if j == 0 else 0.0
+            self._watch_dead_mask(logs)
             self.logger.on_batch_end(start + j, logs)
 
     def _flush_logs(self, entry):
@@ -257,7 +258,28 @@ class Trainer:
         logs = dict(zip(keys, vals))
         logs["size"] = size
         logs["data_time"] = data_time
+        self._watch_dead_mask(logs)
         self.logger.on_batch_end(i, logs)
+
+    def _watch_dead_mask(self, logs):
+        """A training loss of EXACTLY zero means the occlusion x far-field
+        mask has zero mass everywhere (with --midas this happens whenever the
+        depth net is random-init: depth = 10000/clamp(x, 1e-2) ~ 1e6 > 100,
+        the far-field cutoff) — no gradient flows and the run can never
+        recover. The reference cannot hit this (it unconditionally loads the
+        pretrained checkpoint); warn loudly once instead of burning hours."""
+        if getattr(self, "_dead_mask_warned", False):
+            return
+        if logs.get("loss", 1.0) == 0.0 and logs.get("flow_loss_1_2", 1.0) == 0.0:
+            self._dead_mask_warned = True
+            print(
+                "WARNING: training loss is exactly 0 — the occlusion/far-"
+                "field mask has zero mass (random-init MiDaS depth > 100 "
+                "everywhere?). Training cannot make progress; load the "
+                "pretrained depth checkpoint (scripts/download_data_and_"
+                "depth_ckpt.sh) or use --depth_net tiny for smoke runs.",
+                flush=True,
+            )
 
     @staticmethod
     def _iter_batches(source, order):

@@ -150,3 +150,14 @@ def test_config_two_phase_parse():
     assert opt.scene_lr_mul == 1000
     assert opt.midas and opt.use_disp
     assert "epoch_batches" in unique
+def test_dead_mask_warning(capsys):
+    from dynamic_video_depth_tpu.train.loop import Trainer
+    t = object.__new__(Trainer)
+    t._watch_dead_mask({"loss": 0.0, "flow_loss_1_2": 0.0})
+    out = capsys.readouterr().out
+    assert "zero mass" in out
+    t._watch_dead_mask({"loss": 0.0, "flow_loss_1_2": 0.0})
+    assert "zero mass" not in capsys.readouterr().out  # warns once
+    t2 = object.__new__(Trainer)
+    t2._watch_dead_mask({"loss": 0.5, "flow_loss_1_2": 0.1})
+    assert capsys.readouterr().out == ""
