@@ -87,3 +87,27 @@ def test_inference_cli_outputs(workdir):
     # accumulated per-epoch visualization page + rendered artifacts
     assert (outdir / "index.html").is_file()
     assert list((workdir / "test_out").glob("**/compare_*.png"))
+
+
+def test_fleet_cli(workdir):
+    """train_fleet.py end-to-end: 2 tracks in lockstep on the virtual CPU
+    mesh (one video per device), per-track logs/checkpoints, async one-step-
+    behind metric fetch, per-video best-on-vali checkpoints."""
+    from dynamic_video_depth_tpu.data.synthetic import make_track
+
+    make_track(str(workdir / "datafiles" / "davis_processed"), track="train",
+               n_frames=8, h=32, w=48, gaps=(1, 2))
+    args = [a for a in TRAIN_ARGS]
+    args[args.index("--logdir") + 1] = "./fleet_ckpt"
+    run([sys.executable, os.path.join(REPO, "train_fleet.py"),
+         "--tracks", "dog,train", "--epoch", "2", *args],
+        cwd=workdir)
+    for t in ("dog", "train"):
+        tdir = workdir / "fleet_ckpt" / t
+        assert (tdir / "checkpoint.ckpt").is_file(), tdir
+        assert (tdir / "best.ckpt").is_file()
+        assert json.load(open(tdir / "best.ckpt.json"))["best"] < float("inf")
+    fleet_csv = workdir / "fleet_ckpt" / "epoch_loss.csv"
+    assert fleet_csv.is_file()
+    rows = fleet_csv.read_text().strip().splitlines()
+    assert len(rows) >= 3  # header + 2 epochs

@@ -176,11 +176,21 @@ def main():
     spd = max(int(getattr(opt, "steps_per_dispatch", 1) or 1), 1)
     metric_keys = None
 
+    def _flush_pending(entry, keys):
+        """One-step-behind async metric flush (fleet means per metric)."""
+        it0, packed = entry
+        vals = np.asarray(packed)  # [V, n_metrics]
+        mean_logs = {mk: float(np.mean(vals[:, mi]))
+                     for mi, mk in enumerate(keys)}
+        mean_logs["size"] = vals.shape[0]
+        logger.on_batch_end(it0, mean_logs)
+
     for epoch in range(start_epoch, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
         logger.on_epoch_begin(epoch)
         n_steps = opt.epoch_batches or min(len(d) for d in datasets)
         it_ = 0
+        pending = None
         while it_ < n_steps:
             gap = gaps[rng.choice(len(gaps), p=gap_probs)]
             euler_steps = int(round(gap / datasets[0].unit))
@@ -211,11 +221,23 @@ def main():
                 stacked = train_cache.stacked(idxs)
                 states, logs = fleet.train_step(states, stacked,
                                                 steps=euler_steps, warm=warm)
-                mean_logs = {mk: float(np.mean(np.asarray(v)))
-                             for mk, v in logs.items() if mk != "_packed"}
-                mean_logs["size"] = n_videos
-                logger.on_batch_end(it_, mean_logs)
+                if metric_keys is None:
+                    metric_keys = sorted(base.metrics_packed)
+                # metrics fetched ONE STEP BEHIND: a synchronous read here
+                # would stall the dispatch queue on a device roundtrip every
+                # step (same pattern as the single-video loop)
+                packed = logs["_packed"]
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending is not None:
+                    _flush_pending(pending, metric_keys)
+                pending = (it_, packed)
             it_ += k
+        if pending is not None:
+            _flush_pending(pending, metric_keys)
+            pending = None
         # lockstep per-video validation (masked disparity MSE, reference's
         # model-selection metric) over the common frame count
         n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
