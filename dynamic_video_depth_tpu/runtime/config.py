@@ -156,6 +156,9 @@ def parse_test(argv: Optional[Sequence[str]] = None):
     a("--batch_size", type=int, default=1)
     a("--vis_workers", default=2, type=int)
     a("--data_root", type=str, default=None)
+    a("--n_chips", type=int, default=1,
+      help="shard per-frame inference over this many devices "
+           "(frames batch across a 'data' mesh axis)")
     opt, unknown = parser.parse_known_args(argv)
     if unknown:
         print(f"Warning: ignoring unknown options {unknown}")

@@ -70,35 +70,73 @@ def main():
     visualizer = HTMLVisualizer(n_workers=opt_test.vis_workers)
 
     # ------------------------------------------------------------- inference
+    # With --n_chips > 1, frames batch across a 'data' mesh axis: each chip
+    # runs the refined depth net on its frame slice (params replicated) —
+    # the inference analog of the fleet training / sharded preprocessing
+    # strategies. Per-frame outputs and artifacts are identical.
+    n_par = max(1, getattr(opt_test, "n_chips", 1))
+    predict_block = None
+    if n_par > 1:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh([("data", n_par)])
+        shard = NamedSharding(mesh, P("data"))
+
+        def predict_block(group):
+            n = len(group)
+            padded = group + [group[-1]] * ((-n) % n_par)
+            stacked = {}
+            for k in group[0]:
+                v0 = np.asarray(padded[0][k])
+                if v0.ndim >= 1 and v0.shape[0] == 1:
+                    arr = np.concatenate([np.asarray(b[k]) for b in padded], 0)
+                    stacked[k] = jax.device_put(jnp.asarray(arr), shard)
+                else:  # per-track scalars (time_step)
+                    stacked[k] = jnp.asarray(v0)
+            pred = model.step.predict(model.state, stacked)
+            return [
+                {kk: np.asarray(vv[j:j + 1]) for kk, vv in pred.items()}
+                for j in range(n)
+            ]
+
     depth_pred, depth_nn, depth_gt, imgs = [], [], [], []
     test_loss = 0.0
-    for i in range(len(dataset)):
-        batch = dataset[i]
-        dev = {k: v for k, v in batch.items() if k != "pair_path"}
-        pred = model.test_on_batch(i, dev)
-        test_loss += float(
-            disparity_vali_loss(pred["depth"], batch["depth_mvs"])
-        )
-        # Full reference test-dump schema (reference: pack_output,
-        # models/video_base.py:105-126 + test_on_batch :128-155): the
-        # prediction dict (depth, sf_1_2) plus imgs, init depth, "gt" depth,
-        # camera pose/intrinsics and the source path.
-        pack = {
-            "batch_size": np.asarray([1]),
-            "img_1": batch["img"], "img_2": batch["img"],
-            "depth": np.asarray(pred["depth"]),
-            "sf_1_2": np.asarray(pred["sf_1_2"]),
-            "depth_nn": batch["depth_pred"],
-            "depth_gt": batch["depth_mvs"],
-            "cam_c2w": batch["cam_c2w"], "K": batch["K"],
-            "pair_path": np.asarray(batch["pair_path"]),
-        }
-        np.savez(join(outdir, "batch%04d" % i), **pack)
-        visualizer.visualize(pack, i, outdir)
-        depth_pred.append(pred["depth"][0])
-        depth_nn.append(batch["depth_pred"][0])
-        depth_gt.append(batch["depth_mvs"][0])
-        imgs.append(batch["img"][0])
+    for lo in range(0, len(dataset), n_par):
+        idxs = list(range(lo, min(lo + n_par, len(dataset))))
+        group = [dataset[i] for i in idxs]
+        devs = [{k: v for k, v in b.items() if k != "pair_path"}
+                for b in group]
+        if predict_block is not None:
+            preds = predict_block(devs)
+        else:
+            preds = [model.test_on_batch(idxs[0], devs[0])]
+        for i, batch, pred in zip(idxs, group, preds):
+            test_loss += float(
+                disparity_vali_loss(pred["depth"], batch["depth_mvs"])
+            )
+            # Full reference test-dump schema (reference: pack_output,
+            # models/video_base.py:105-126 + test_on_batch :128-155): the
+            # prediction dict (depth, sf_1_2) plus imgs, init depth, "gt"
+            # depth, camera pose/intrinsics and the source path.
+            pack = {
+                "batch_size": np.asarray([1]),
+                "img_1": batch["img"], "img_2": batch["img"],
+                "depth": np.asarray(pred["depth"]),
+                "sf_1_2": np.asarray(pred["sf_1_2"]),
+                "depth_nn": batch["depth_pred"],
+                "depth_gt": batch["depth_mvs"],
+                "cam_c2w": batch["cam_c2w"], "K": batch["K"],
+                "pair_path": np.asarray(batch["pair_path"]),
+            }
+            np.savez(join(outdir, "batch%04d" % i), **pack)
+            visualizer.visualize(pack, i, outdir)
+            depth_pred.append(pred["depth"][0])
+            depth_nn.append(batch["depth_pred"][0])
+            depth_gt.append(batch["depth_mvs"][0])
+            imgs.append(batch["img"][0])
     visualizer.flush()
     test_loss /= max(len(dataset), 1)
     print(f"disparity loss vs init: {test_loss:.6g}")

@@ -111,3 +111,23 @@ def test_fleet_cli(workdir):
     assert fleet_csv.is_file()
     rows = fleet_csv.read_text().strip().splitlines()
     assert len(rows) >= 3  # header + 2 epochs
+
+
+def test_inference_cli_sharded_matches_serial(workdir):
+    """--n_chips frame-sharded inference (frames across the 'data' mesh
+    axis) produces the same per-frame dumps as the serial path."""
+    logdir = workdir / LOGDIR
+    if not (workdir / "test_out" / "epochbest_test").is_dir():
+        pytest.skip("serial inference test did not run first")
+    run([sys.executable, os.path.join(REPO, "test.py"),
+         "--checkpoint_path", str(logdir), "--output_dir", "./test_out_mc",
+         "--n_chips", "8"], cwd=workdir)
+    serial = sorted((workdir / "test_out" / "epochbest_test").glob("batch*.npz"))
+    sharded = sorted((workdir / "test_out_mc" / "epochbest_test").glob("batch*.npz"))
+    assert len(serial) == len(sharded) == 8
+    for fa, fb in zip(serial, sharded):
+        da, db = np.load(fa), np.load(fb)
+        np.testing.assert_allclose(db["depth"], da["depth"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(db["sf_1_2"], da["sf_1_2"],
+                                   rtol=1e-4, atol=1e-6)
