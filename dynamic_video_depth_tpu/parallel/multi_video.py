@@ -177,6 +177,14 @@ class MultiVideoDataParallel:
     def state_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(self.video_axis))
 
+    def broadcast_state(self, state: TrainState, n_videos: int) -> TrainState:
+        """Replicate one (e.g. pretrained-initialized) state to all video
+        rows (replicated over the data axis)."""
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_videos,) + x.shape), state
+        )
+        return jax.device_put(stacked, self.state_sharding())
+
     def _batch_spec(self, leaf) -> P:
         if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[1] % self.n_data == 0:
             return P(self.video_axis, self.data_axis)

@@ -131,3 +131,24 @@ def test_inference_cli_sharded_matches_serial(workdir):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(db["sf_1_2"], da["sf_1_2"],
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fleet_cli_2d_mesh(workdir):
+    """train_fleet.py --dp 2: 2 videos x 2-way same-video data parallelism
+    on a (video, data) mesh, per-track checkpoints written."""
+    if not (workdir / "datafiles" / "davis_processed" / "frames_midas"
+            / "train").is_dir():
+        from dynamic_video_depth_tpu.data.synthetic import make_track
+
+        make_track(str(workdir / "datafiles" / "davis_processed"),
+                   track="train", n_frames=8, h=32, w=48, gaps=(1, 2))
+    args = [a for a in TRAIN_ARGS]
+    args[args.index("--logdir") + 1] = "./fleet2d_ckpt"
+    args[args.index("--batch_size") + 1] = "2"
+    run([sys.executable, os.path.join(REPO, "train_fleet.py"),
+         "--tracks", "dog,train", "--dp", "2", "--epoch", "1", *args],
+        cwd=workdir)
+    for t in ("dog", "train"):
+        tdir = workdir / "fleet2d_ckpt" / t
+        assert (tdir / "checkpoint.ckpt").is_file(), tdir
+        assert (tdir / "best.ckpt").is_file()

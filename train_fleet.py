@@ -11,6 +11,11 @@ Usage:
   python train_fleet.py --tracks dog,train,car --dataset davis_sequence \
       --epoch 20 --epoch_batches 2000 [same model flags as train.py]
 
+``--dp D`` adds same-video data parallelism on a 2D (video x data) mesh:
+each video's pair batch (``--batch_size``, a multiple of D) shards over D
+chips with XLA-inserted gradient all-reduce (exact single-device numerics;
+see parallel/multi_video.py MultiVideoDataParallel).
+
 Per-step, all videos consume their own pair batch of the SAME frame gap
 (gap buckets rotate across steps); per-video logs and checkpoints are
 written under <logdir>/<track>/.
@@ -58,10 +63,14 @@ def main():
     argv = sys.argv[1:]
     extra = []
     tracks = None
+    dp = 1
     i = 0
     while i < len(argv):
         if argv[i] == "--tracks":
             tracks = argv[i + 1].split(",")
+            i += 2
+        elif argv[i] == "--dp":
+            dp = max(int(argv[i + 1]), 1)
             i += 2
         else:
             extra.append(argv[i])
@@ -73,9 +82,13 @@ def main():
 
     n_videos = len(tracks)
     n_dev = len(jax.devices())
-    assert n_videos <= n_dev, (
-        f"{n_videos} videos > {n_dev} devices; fleet packs one video per chip"
+    assert n_videos * dp <= n_dev, (
+        f"{n_videos} videos x dp {dp} > {n_dev} devices"
     )
+    if dp > 1:
+        assert opt.batch_size % dp == 0 or opt.batch_size == 1, (
+            f"--batch_size {opt.batch_size} must be a multiple of --dp {dp}"
+        )
 
     Model = get_model(opt.net)
     Dataset = get_dataset(opt.dataset)
@@ -93,8 +106,18 @@ def main():
         vali_sets.append(Dataset(o, mode="vali", model=m))
     base = models[0]
 
-    mesh = make_mesh([("video", n_videos)])
-    fleet = MultiVideoOptimizer(base.step, mesh)
+    if dp > 1:
+        # 2D mesh: V independent videos x same-video data parallelism.
+        # Batches assemble on the host each step (the HBM-pinned
+        # FleetBatchCache is single-device-per-video; acceptable here since
+        # dp mode targets large per-step batches where compute dominates).
+        from dynamic_video_depth_tpu.parallel import MultiVideoDataParallel
+
+        mesh = make_mesh([("video", n_videos), ("data", dp)])
+        fleet = MultiVideoDataParallel(base.step, mesh)
+    else:
+        mesh = make_mesh([("video", n_videos)])
+        fleet = MultiVideoOptimizer(base.step, mesh)
 
     # init per-video states (pretrained load once, replicated)
     sample = datasets[0][0]
@@ -167,13 +190,40 @@ def main():
                     best_vali[vi] = float(json.load(f).get("best", "inf"))
 
     # HBM-resident per-video batch caches: steady-state steps assemble the
-    # fleet batch from device shards with zero host traffic
-    from dynamic_video_depth_tpu.data.prefetch import FleetBatchCache
+    # fleet batch from device shards with zero host traffic (1D fleet only;
+    # dp mode shards each video's pair batch over its mesh row instead)
+    from dynamic_video_depth_tpu.data.prefetch import (
+        _HOST_KEYS_SKIP,
+        FleetBatchCache,
+    )
 
-    train_cache = FleetBatchCache(datasets, mesh)
-    vali_cache = FleetBatchCache(vali_sets, mesh)
+    train_cache = vali_cache = None
+    if dp == 1:
+        train_cache = FleetBatchCache(datasets, mesh)
+        vali_cache = FleetBatchCache(vali_sets, mesh)
+    bsz = opt.batch_size if opt.batch_size % dp == 0 else dp
+
+    def host_stacked(ds_list, idx_lists):
+        """[V][B] sample indices -> host-stacked fleet batch [V, B, ...]
+        (per-track scalars stay rank-1 [V])."""
+        per_video, keys = [], None
+        for vi, idxs in enumerate(idx_lists):
+            samples = [ds_list[vi][i] for i in idxs]
+            if keys is None:
+                keys = [k for k in samples[0] if k not in _HOST_KEYS_SKIP]
+            pv = {}
+            for kk in keys:
+                v0 = np.asarray(samples[0][kk])
+                pv[kk] = (np.concatenate(
+                    [np.asarray(s[kk]) for s in samples], 0)
+                    if v0.ndim >= 1 else v0)
+            per_video.append(pv)
+        return {kk: np.stack([pv[kk] for pv in per_video]) for kk in keys}
 
     spd = max(int(getattr(opt, "steps_per_dispatch", 1) or 1), 1)
+    if dp > 1 and spd > 1:
+        print("--steps_per_dispatch is 1D-fleet-only; forcing 1 under --dp")
+        spd = 1
     metric_keys = None
 
     def _flush_pending(entry, keys):
@@ -216,9 +266,18 @@ def main():
                     mean_logs["size"] = n_videos
                     logger.on_batch_end(it_ + ki, mean_logs)
             else:
-                idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
-                        for vi in range(n_videos)]
-                stacked = train_cache.stacked(idxs)
+                if dp > 1:
+                    idx_lists = [
+                        [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                         for _ in range(bsz)]
+                        for vi in range(n_videos)
+                    ]
+                    stacked = host_stacked(datasets, idx_lists)
+                    states, stacked = fleet.place(states, stacked)
+                else:
+                    idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                            for vi in range(n_videos)]
+                    stacked = train_cache.stacked(idxs)
                 states, logs = fleet.train_step(states, stacked,
                                                 steps=euler_steps, warm=warm)
                 if metric_keys is None:
@@ -243,7 +302,14 @@ def main():
         n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
         vali_losses = np.zeros(n_videos)
         for fi in range(n_vali):
-            _, vlogs = fleet.vali_step(states, vali_cache.stacked([fi] * n_videos))
+            if dp > 1:
+                # duplicate the frame across the data axis (mean over
+                # identical frames == the single-frame loss)
+                vb = host_stacked(vali_sets, [[fi] * dp] * n_videos)
+                states, vb = fleet.place(states, vb)
+            else:
+                vb = vali_cache.stacked([fi] * n_videos)
+            _, vlogs = fleet.vali_step(states, vb)
             vali_losses += np.asarray(vlogs["loss"]) / max(n_vali, 1)
 
         logger.on_epoch_end(epoch, {"loss": float(np.mean(vali_losses))})
