@@ -278,8 +278,14 @@ def process_davis_track(
     return s
 
 
-def make_midas_depth_fn(resize: Optional[tuple] = None):
-    """Build a TPU depth predictor from the pretrained MiDaS checkpoint."""
+def make_midas_depth_fn(resize: Optional[tuple] = None, mesh=None):
+    """Build a TPU depth predictor from the pretrained MiDaS checkpoint.
+
+    With a :class:`jax.sharding.Mesh` (axis ``'data'``), the frame batch
+    shards across the mesh (params replicated, one frame slice per chip) —
+    stage-1 preprocessing then scales over a fleet like stages 2/3 and
+    inference do. The batch is padded up to the axis size.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -290,6 +296,11 @@ def make_midas_depth_fn(resize: Optional[tuple] = None):
     net = MidasNet(non_negative=True, normalize_input=True, resize=resize)
 
     variables = None
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
 
     @jax.jit
     def apply(v, imgs):
@@ -297,11 +308,21 @@ def make_midas_depth_fn(resize: Optional[tuple] = None):
 
     def depth_fn(imgs: np.ndarray) -> np.ndarray:
         nonlocal variables
+        n = imgs.shape[0]
+        arr = np.asarray(imgs)
+        if shard is not None:
+            d = mesh.devices.size
+            pad = (-n) % d
+            if pad:
+                arr = np.concatenate([arr, arr[:pad]], axis=0)
+            arr = jax.device_put(jnp.asarray(arr), shard)
+        else:
+            arr = jnp.asarray(arr)
         if variables is None:
-            variables = net.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:1]))
+            variables = net.init(jax.random.PRNGKey(0), arr[:1])
             if os.path.isfile(MIDAS_PRETRAIN_PATH):
                 sd = load_torch_state_dict(MIDAS_PRETRAIN_PATH)
                 variables = port_torch_variables(variables, sd)
-        return np.asarray(apply(variables, jnp.asarray(imgs)))
+        return np.asarray(apply(variables, arr))[:n]
 
     return depth_fn

@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--raft_ckpt", default="./third_party/RAFT/models/raft-sintel.pth")
     ap.add_argument("--stage", default="all", choices=["all", "frames", "flows", "pairs"])
     ap.add_argument("--n_chips", type=int, default=0,
-                    help="shard stage-2 RAFT batches over this many devices "
+                    help="shard stage-1 MiDaS / stage-2 RAFT batches over this many devices "
                          "(0 = serial single-device)")
     args = ap.parse_args()
 
@@ -75,7 +75,12 @@ def main():
         imgs, matrices, K, points_3d, masks = load_davis_track(
             args.raw_root, args.track
         )
-        depth_fn = frames_mod.make_midas_depth_fn()
+        mesh1 = None
+        if args.n_chips > 1:
+            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+            mesh1 = make_mesh([("data", args.n_chips)])
+        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh1)
         s = frames_mod.process_davis_track(
             imgs, matrices, K, points_3d, masks, frame_dir, depth_fn,
             max_width=384, multiple_of=64,

@@ -93,7 +93,7 @@ def main():
     ap.add_argument("--raft_ckpt", default="./third_party/RAFT/models/raft-sintel.pth")
     ap.add_argument("--stage", default="all", choices=["all", "frames", "flows", "pairs"])
     ap.add_argument("--n_chips", type=int, default=0,
-                    help="shard stage-2 RAFT batches over this many devices "
+                    help="shard stage-1 MiDaS / stage-2 RAFT batches over this many devices "
                          "(0 = serial single-device)")
     args = ap.parse_args()
 
@@ -109,7 +109,12 @@ def main():
             glob(join(args.raw_root, args.track, "*.h5")),
             key=lambda f: int(f.split("_")[-1].split(".")[0]),
         )
-        depth_fn = frames_mod.make_midas_depth_fn()
+        mesh1 = None
+        if args.n_chips > 1:
+            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+            mesh1 = make_mesh([("data", args.n_chips)])
+        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh1)
         s = process_track_h5(files, frame_dir, depth_fn)
         print(f"stage 1 done: {len(files)} frames, scale {s:.4f}")
 

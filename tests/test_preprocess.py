@@ -205,3 +205,20 @@ def test_stage2_sharded_matches_serial(tmp_path, rng):
             assert np.abs(b[k].astype(np.int32)
                           - a[k].astype(np.int32)).mean() < 0.01
         assert int(a["frame_id_1"]) == int(b["frame_id_1"])
+
+
+def test_stage1_depth_fn_sharded_matches_serial(rng):
+    """make_midas_depth_fn(mesh=...) shards the frame batch over the 'data'
+    axis and returns the same depths as the serial path (random-init MiDaS:
+    identical PRNGKey + shapes in both paths; batch of 5 exercises the
+    pad-to-axis-size path on the 8-device mesh)."""
+    from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+    imgs = rng.rand(5, 64, 96, 3).astype(np.float32)
+    serial = frames_mod.make_midas_depth_fn()(imgs)
+    mesh = make_mesh([("data", 8)])
+    sharded = frames_mod.make_midas_depth_fn(mesh=mesh)(imgs)
+    assert sharded.shape == serial.shape == (5, 64, 96)
+    # random-init MiDaS's 10000/clamp(x, 1e-2) head emits values up to 1e6,
+    # amplifying batch-tiling float noise; 1e-3 relative is layout parity
+    np.testing.assert_allclose(sharded, serial, rtol=1e-3, atol=1e-4)
