@@ -25,6 +25,10 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--manual_seed", type=int, default=None, help="manual seed")
     a("--resume", type=int, default=0,
       help="0 scratch; -1 last; -2 best; N epoch N")
+    a("--load_reference_ckpt", type=str, default="",
+      help="import a reference-implementation training checkpoint "
+           "(checkpoint.pt/best.pt: nets + Adam moments) and continue "
+           "optimizing from it")
     a("--suffix", default="", type=str,
       help="logdir suffix formatted with opt vars, e.g. '{track_id}_lr{lr}'")
     a("--epoch", type=int, default=0, help="number of epochs to train")

@@ -152,3 +152,44 @@ def test_fleet_cli_2d_mesh(workdir):
         tdir = workdir / "fleet2d_ckpt" / t
         assert (tdir / "checkpoint.ckpt").is_file(), tdir
         assert (tdir / "best.ckpt").is_file()
+
+
+def test_train_cli_migrates_reference_checkpoint(workdir):
+    """train.py --load_reference_ckpt: a mid-run checkpoint written by the
+    REFERENCE'S own modules + torch Adam (hourglass depth net, canonical
+    256x4 scene-flow field) imports and training continues at epoch+1."""
+    import torch
+
+    REFERENCE = "/root/reference"
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from networks.sceneflow_field import SceneFlowFieldNet as TorchSF
+    from third_party.hourglass import HourglassModel_Embed
+
+    torch.manual_seed(0)
+    net_d = HourglassModel_Embed(noexp=False).eval()
+    net_sf = TorchSF(net_width=256, n_layers=4, N_freq_xyz=16, N_freq_t=16,
+                     time_dependent=True)
+    opt_d = torch.optim.Adam(net_d.parameters(), lr=1e-4, betas=(0.5, 0.9))
+    opt_sf = torch.optim.Adam(net_sf.parameters(), lr=1e-3, betas=(0.5, 0.9))
+    loss = (net_d(torch.randn(1, 3, 32, 48)).mean()
+            + (net_sf(torch.randn(1, 3, 8, 8), torch.randn(1, 1, 8, 8)) ** 2).mean())
+    loss.backward()
+    opt_d.step()
+    opt_sf.step()
+    ref_ckpt = str(workdir / "ref_checkpoint.pt")
+    torch.save({"nets": [net_d.state_dict(), net_sf.state_dict()],
+                "optimizers": [opt_d.state_dict(), opt_sf.state_dict()],
+                "epoch": 7}, ref_ckpt)
+
+    args = [a for a in TRAIN_ARGS]
+    del args[args.index("--depth_net"):args.index("--depth_net") + 2]
+    args[args.index("--logdir") + 1] = "./migrate_ckpt"
+    out = run([sys.executable, os.path.join(REPO, "train.py"),
+               "--epoch", "8", "--load_reference_ckpt", ref_ckpt, *args],
+              cwd=workdir)
+    assert "Imported reference checkpoint" in out
+    logdir = (workdir / "migrate_ckpt" /
+              "scene_flow_motion_field_davis_sequence_track_dog" / "0")
+    meta = json.load(open(logdir / "checkpoint.ckpt.json"))
+    assert meta["epoch"] == 8

@@ -131,6 +131,20 @@ def main():
         model.state = state
         start_epoch = int(meta.get("epoch", 0)) + 1
         print(f"Resumed from {resume_path} at epoch {start_epoch - 1}")
+    elif getattr(opt, "load_reference_ckpt", ""):
+        # mid-run migration from the reference implementation: weights, BN
+        # stats, and Adam moments import so the next step continues the
+        # torch optimization exactly (runtime/migrate.py)
+        from dynamic_video_depth_tpu.runtime.migrate import (
+            import_reference_checkpoint,
+        )
+
+        model.state, extras = import_reference_checkpoint(
+            opt.load_reference_ckpt, model.step, model.state
+        )
+        start_epoch = int(extras.get("epoch", 0)) + 1
+        print(f"Imported reference checkpoint {opt.load_reference_ckpt} "
+              f"(epoch {start_epoch - 1}); continuing at {start_epoch}")
 
     # ----------------------------------------------------------- checkpoints
     from dynamic_video_depth_tpu.runtime.checkpoint import AsyncSaver
