@@ -164,3 +164,142 @@ def import_reference_checkpoint(path: str, step, state,
 
     extras = {k: v for k, v in ckpt.items() if k not in ("nets", "optimizers")}
     return new_state, extras
+
+
+# --------------------------------------------------------------------- export
+
+def _deconvert(value: np.ndarray, kind: str, torch_shape) -> np.ndarray:
+    """Inverse of models.torch_port._convert: flax layout -> torch layout."""
+    value = np.asarray(value)
+    if kind == "kernel":
+        if len(torch_shape) == 4:
+            if value.ndim == 2:  # flax Dense <- torch 1x1 conv
+                value = value[None, None]  # [1, 1, I, O]
+            value = value.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif len(torch_shape) == 2 and value.ndim == 2:
+            value = value.transpose(1, 0)  # IO -> OI
+    if tuple(value.shape) != tuple(torch_shape):
+        raise ValueError(
+            f"Shape mismatch exporting {kind}: flax {value.shape} vs "
+            f"torch {tuple(torch_shape)}"
+        )
+    return value
+
+
+def _flax_to_torch_sd(variables, template_sd):
+    """Flax variables -> torch state dict with the template's layout.
+    Template keys we do not own (e.g. the hourglass's unused
+    uncertainty_layer, num_batches_tracked counters) keep their template
+    values."""
+    from flax import traverse_util
+    from flax.core import unfreeze
+
+    from ..models.torch_port import _torch_key
+
+    out = dict(template_sd)
+    for collection, tree in variables.items():
+        for path, leaf in traverse_util.flatten_dict(unfreeze(tree)).items():
+            key, kind = _torch_key(path)
+            if key in template_sd:
+                out[key] = _deconvert(
+                    np.asarray(leaf), kind, np.asarray(template_sd[key]).shape
+                )
+    return out
+
+
+def _owned_torch_keys(variables):
+    """Torch keys this framework's variable tree models."""
+    from flax import traverse_util
+    from flax.core import unfreeze
+
+    from ..models.torch_port import _torch_key
+
+    keys = set()
+    for collection, tree in variables.items():
+        for path in traverse_util.flatten_dict(unfreeze(tree)):
+            keys.add(_torch_key(path)[0])
+    return keys
+
+
+def _export_adam_state(opt_state, variables, sd_template, opt_template):
+    """optax ScaleByAdamState -> torch Adam state dict (template layout).
+
+    Moments are written only for params this framework models; params we do
+    not own (e.g. the hourglass's unused uncertainty_layer) keep their
+    template entry when one exists and stay absent otherwise — matching
+    torch's never-updated semantics."""
+    import optax
+
+    adam = next(e for e in (opt_state if isinstance(opt_state, tuple)
+                            else (opt_state,))
+                if isinstance(e, optax.ScaleByAdamState))
+    count = int(np.asarray(adam.count))
+    mu_sd = _flax_to_torch_sd({"params": adam.mu}, sd_template)
+    nu_sd = _flax_to_torch_sd({"params": adam.nu}, sd_template)
+    owned = _owned_torch_keys(variables)
+    keys = _param_keys_in_order(sd_template)
+    out = {"state": {}, "param_groups": []}
+    for group in opt_template["param_groups"]:
+        g = dict(group)
+        out["param_groups"].append(g)
+    old_state = opt_template.get("state", {})
+    ids = []
+    for group in opt_template["param_groups"]:
+        ids.extend(group["params"])
+    for pid, key in zip(ids, keys):
+        old = old_state.get(pid, old_state.get(str(pid)))
+        if key in owned:
+            entry = dict(old or {})
+            entry["step"] = count
+            entry["exp_avg"] = np.asarray(mu_sd[key])
+            entry["exp_avg_sq"] = np.asarray(nu_sd[key])
+            out["state"][pid] = entry
+        elif old is not None:
+            out["state"][pid] = dict(old)
+    return out
+
+
+def export_reference_checkpoint(state, template_path: str, out_path: str,
+                                extras: Dict | None = None) -> None:
+    """Write a TrainState as a reference-format training checkpoint.
+
+    ``template_path``: an existing reference checkpoint of the SAME
+    architecture (e.g. the one originally imported) — it disambiguates
+    torch layouts (1x1 conv vs linear) and carries keys this framework
+    does not model (unused layers, BN batch counters). The result loads
+    through the reference's ``load_state_dict`` (and its raw modules'
+    ``load_state_dict(strict=True)``).
+    """
+    import torch
+
+    template = load_reference_checkpoint(template_path)
+    depth_tmpl, sf_tmpl = template["nets"]
+
+    depth_vars = {"params": state.params_depth}
+    if state.stats_depth:
+        depth_vars["batch_stats"] = state.stats_depth
+    nets = [
+        _flax_to_torch_sd(depth_vars, depth_tmpl),
+        _flax_to_torch_sd({"params": state.params_sf}, sf_tmpl),
+    ]
+    ckpt = {"nets": [
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+        for sd in nets
+    ]}
+    if "optimizers" in template:
+        opts = [
+            _export_adam_state(state.opt_depth, depth_vars, depth_tmpl,
+                               template["optimizers"][0]),
+            _export_adam_state(state.opt_sf, {"params": state.params_sf},
+                               sf_tmpl, template["optimizers"][1]),
+        ]
+        for o in opts:
+            for entry in o["state"].values():
+                for f in ("exp_avg", "exp_avg_sq"):
+                    entry[f] = torch.from_numpy(
+                        np.ascontiguousarray(entry[f]))
+                entry["step"] = torch.tensor(float(entry["step"]))
+        ckpt["optimizers"] = opts
+    for k, v in (extras or {}).items():
+        ckpt[k] = v
+    torch.save(ckpt, out_path)

@@ -147,3 +147,55 @@ def test_migration_without_optimizer_state(tmp_path, capsys):
     assert int(adam.count) == 0
     assert all(float(jnp.abs(m).max()) == 0.0
                for m in jax.tree.leaves(adam.mu))
+
+
+def test_export_round_trips_to_reference_format(tmp_path):
+    """import -> export must reproduce the reference checkpoint exactly
+    (transposes are lossless), and the exported file must load into the
+    reference's own modules with strict=True."""
+    from dynamic_video_depth_tpu.runtime.migrate import (
+        export_reference_checkpoint,
+    )
+
+    net_d, net_sf, opt_d, opt_sf = build_torch_side()
+    path = str(tmp_path / "checkpoint.pt")
+    torch.save({"nets": [net_d.state_dict(), net_sf.state_dict()],
+                "optimizers": [opt_d.state_dict(), opt_sf.state_dict()],
+                "epoch": 7}, path)
+
+    step, state = our_step(tmp_path)
+    state2, extras = import_reference_checkpoint(path, step, state)
+    out = str(tmp_path / "exported.pt")
+    export_reference_checkpoint(state2, path, out, extras=extras)
+
+    exported = torch.load(out, weights_only=False)
+    assert int(exported["epoch"]) == 7
+
+    # strict load into FRESH reference modules
+    from networks.sceneflow_field import SceneFlowFieldNet as TorchSF
+    from third_party.hourglass import HourglassModel_Embed
+
+    torch.manual_seed(123)
+    fresh_d = HourglassModel_Embed(noexp=False)
+    fresh_sf = TorchSF(net_width=16, n_layers=1, N_freq_xyz=2, N_freq_t=1,
+                       time_dependent=True)
+    fresh_d.load_state_dict(exported["nets"][0], strict=True)
+    fresh_sf.load_state_dict(exported["nets"][1], strict=True)
+
+    # exact round trip of every tensor we model
+    for orig_net, got_sd in ((net_d, exported["nets"][0]),
+                             (net_sf, exported["nets"][1])):
+        for k, v in orig_net.state_dict().items():
+            np.testing.assert_allclose(
+                got_sd[k].numpy() if hasattr(got_sd[k], "numpy") else got_sd[k],
+                v.numpy(), rtol=0, atol=0, err_msg=k)
+    # Adam moments round trip
+    for orig_opt, got in ((opt_d, exported["optimizers"][0]),
+                          (opt_sf, exported["optimizers"][1])):
+        o = orig_opt.state_dict()["state"]
+        for pid, entry in got["state"].items():
+            for f in ("exp_avg", "exp_avg_sq"):
+                np.testing.assert_allclose(entry[f].numpy(),
+                                           o[pid][f].numpy(),
+                                           rtol=0, atol=0)
+            assert int(entry["step"]) == int(o[pid]["step"])
