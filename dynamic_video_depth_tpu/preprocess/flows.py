@@ -173,8 +173,11 @@ def make_raft_flow_batch_fn(ckpt_path: str | None = None, mesh=None,
             d = mesh.devices.size
             pad = (-a.shape[0]) % d
             if pad:
-                a = np.concatenate([a, a[:pad]], axis=0)
-                b = np.concatenate([b, b[:pad]], axis=0)
+                # cycle rows: the final chunk can be smaller than the pad
+                total = a.shape[0] + pad
+                reps = -(-total // a.shape[0])
+                a = np.concatenate([a] * reps, axis=0)[:total]
+                b = np.concatenate([b] * reps, axis=0)[:total]
             a = jax.device_put(jnp.asarray(a), shard)
             b = jax.device_put(jnp.asarray(b), shard)
         else:

@@ -230,9 +230,14 @@ def _export_adam_state(opt_state, variables, sd_template, opt_template):
     torch's never-updated semantics."""
     import optax
 
-    adam = next(e for e in (opt_state if isinstance(opt_state, tuple)
-                            else (opt_state,))
-                if isinstance(e, optax.ScaleByAdamState))
+    entries = (opt_state if isinstance(opt_state, tuple) else (opt_state,))
+    adams = [e for e in entries if isinstance(e, optax.ScaleByAdamState)]
+    assert adams, (
+        "optimizer-state export implemented for adam (the reference's "
+        "canonical optimizer); export with a template without 'optimizers' "
+        "for sgd-trained states"
+    )
+    adam = adams[0]
     count = int(np.asarray(adam.count))
     mu_sd = _flax_to_torch_sd({"params": adam.mu}, sd_template)
     nu_sd = _flax_to_torch_sd({"params": adam.nu}, sd_template)
@@ -246,6 +251,10 @@ def _export_adam_state(opt_state, variables, sd_template, opt_template):
     ids = []
     for group in opt_template["param_groups"]:
         ids.extend(group["params"])
+    assert len(ids) == len(keys), (
+        f"template optimizer tracks {len(ids)} params, its net has "
+        f"{len(keys)} — id/key alignment would misattach moments"
+    )
     for pid, key in zip(ids, keys):
         old = old_state.get(pid, old_state.get(str(pid)))
         if key in owned:

@@ -5,11 +5,9 @@ torch Adam, then verify (a) weights/BN stats ported, (b) Adam moments +
 step count ported, by taking ONE more optimization step with an identical
 gradient in both frameworks and requiring identical parameters."""
 
-import os
 import sys
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 import optax

@@ -222,3 +222,21 @@ def test_stage1_depth_fn_sharded_matches_serial(rng):
     # random-init MiDaS's 10000/clamp(x, 1e-2) head emits values up to 1e6,
     # amplifying batch-tiling float noise; 1e-3 relative is layout parity
     np.testing.assert_allclose(sharded, serial, rtol=1e-3, atol=1e-4)
+
+
+def test_batch_flow_fn_small_final_chunk(rng):
+    """The sharded RAFT batch pad must cycle rows: a final chunk of 1 pair
+    (2 direction-images) pads up to the 8-device mesh without crashing and
+    returns the right flows."""
+    from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh([("data", 8)])
+    fn = flows_mod.make_raft_flow_batch_fn(mesh=mesh, iters=1)
+    im1 = (rng.rand(1, 64, 96, 3) * 255).astype(np.float32)
+    im2 = (rng.rand(1, 64, 96, 3) * 255).astype(np.float32)
+    f12, f21 = fn(im1, im2)  # 2 rows -> pad 6: must cycle, not crash
+    assert f12.shape == (1, 64, 96, 2) and f21.shape == (1, 64, 96, 2)
+    serial = flows_mod.make_raft_flow_fn(iters=1)
+    sf12, sf21 = serial(im1[0], im2[0])
+    np.testing.assert_allclose(f12[0], sf12, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(f21[0], sf21, rtol=1e-4, atol=1e-4)
