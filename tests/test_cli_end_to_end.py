@@ -111,6 +111,9 @@ def test_fleet_cli(workdir):
     assert fleet_csv.is_file()
     rows = fleet_csv.read_text().strip().splitlines()
     assert len(rows) >= 3  # header + 2 epochs
+    # per-track vali history
+    hist = (workdir / "fleet_ckpt" / "dog" / "vali_loss.csv").read_text()
+    assert hist.startswith("epoch,vali_loss") and len(hist.splitlines()) == 3
 
 
 def test_inference_cli_sharded_matches_serial(workdir):

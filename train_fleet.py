@@ -57,6 +57,7 @@ def main():
         CsvLogger,
         LogCumulator,
         ProgbarLogger,
+        TerminateOnNaN,
     )
 
     # reuse the full train.py flag surface + fleet-specific flags
@@ -154,6 +155,7 @@ def main():
     logger = ComposeLogger([
         cum, ProgbarLogger(interval=opt.progbar_interval),
         CsvLogger(join(logdir, "epoch_loss.csv"), cum),
+        TerminateOnNaN(),  # fleet means: NaN in any video aborts the run
     ])
     logger.set_params({"epochs": opt.epoch,
                        "steps": opt.epoch_batches or len(datasets[0])})
@@ -314,10 +316,17 @@ def main():
 
         logger.on_epoch_end(epoch, {"loss": float(np.mean(vali_losses))})
 
-        # per-video checkpoints + best-on-vali
+        # per-video checkpoints + best-on-vali + per-track vali history
         host_states = jax.device_get(states)
         for vi, t in enumerate(tracks):
             state_i = tree_index(host_states, vi)
+            os.makedirs(join(logdir, t), exist_ok=True)
+            hist = join(logdir, t, "vali_loss.csv")
+            new_file = not os.path.isfile(hist)
+            with open(hist, "a") as f:
+                if new_file:
+                    f.write("epoch,vali_loss\n")
+                f.write(f"{epoch},{float(vali_losses[vi]):.8g}\n")
             save_state(join(logdir, t, "checkpoint.ckpt"), state_i,
                        epoch=epoch, best=best_vali[vi])
             if vali_losses[vi] < best_vali[vi]:
