@@ -85,6 +85,24 @@ def main():
     dt_min = float(np.min(times))
     steps_per_s = n_iters * n_batches / sustained_s
 
+    # K-steps-per-dispatch scan mode (--steps_per_dispatch): same compute,
+    # 1/K the dispatches — the robust number when the tunnel's per-dispatch
+    # latency spikes (a per-step-synced host loop can see 1.6x worse)
+    import jax.numpy as jnp
+
+    K = 8
+    chunk = {k: jnp.stack([jnp.asarray(v)] * K) for k, v in batch.items()}
+    state, packed = step.train_step_scan(state, chunk, steps=gap, warm=False)
+    _ = np.asarray(packed)
+    scan_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, packed = step.train_step_scan(state, chunk, steps=gap,
+                                             warm=False)
+        _ = np.asarray(packed)
+        scan_times.append((time.perf_counter() - t0) / K * 1e3)
+    scan_ms = float(np.median(scan_times))
+
     print(json.dumps({
         "metric": "davis_train_step_224x384_gap2",
         "value": round(dt_median, 3),
@@ -95,6 +113,7 @@ def main():
         "step_ms_median": round(dt_median, 3),
         "step_ms_min": round(dt_min, 3),
         "steps_per_s_sustained": round(steps_per_s, 2),
+        "step_ms_scan8": round(scan_ms, 3),
     }))
 
 

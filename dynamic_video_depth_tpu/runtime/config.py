@@ -78,6 +78,10 @@ def add_general_arguments(parser: argparse.ArgumentParser):
       help="parity flag; bf16 on TPU needs no loss scaling")
     a("--full_precision", action="store_true",
       help="force float32 conv compute")
+    a("--remat_depth", action="store_true",
+      help="rematerialize the depth-net forward in the backward pass "
+           "(~1/3 more FLOPs for O(activations) less HBM; for resolutions "
+           "beyond the reference's <=384-wide protocol)")
     # Logging and visualization
     a("--logdir", type=str, default=None)
     a("--full_logdir", type=str, default=None)

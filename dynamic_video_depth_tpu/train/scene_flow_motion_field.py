@@ -119,6 +119,7 @@ class Model:
             ),
             use_motion_seg=opt.use_motion_seg,
             compute_dtype=compute_dtype,
+            remat_depth=getattr(opt, "remat_depth", False),
         )
         self.step = SceneFlowMotionFieldStep(self.cfg)
         self.state = None

@@ -77,6 +77,10 @@ class TrainStepConfig:
     use_motion_seg: bool = False
     # numerics: bf16 conv compute for the depth nets (params stay f32)
     compute_dtype: str = "bfloat16"
+    # rematerialize the depth-net forward in the backward pass: trades ~1/3
+    # more FLOPs for O(activations) less HBM — enables resolutions well past
+    # the reference's <=384-wide protocol on a single chip
+    remat_depth: bool = False
     # fused Pallas scene-flow MLP ('auto' = on TPU backends only)
     use_pallas_sf: str = "auto"
     # fused Pallas backward warp ('auto' = on TPU backends only)
@@ -189,16 +193,20 @@ class SceneFlowMotionFieldStep:
     # -------------------------------------------------------------- forwards
 
     def _apply_depth(self, params_depth, stats_depth, img):
-        variables = {"params": params_depth}
-        if stats_depth:
-            variables["batch_stats"] = stats_depth
-        dtype = jnp.dtype(self.cfg.compute_dtype)
-        if dtype != jnp.float32:
-            # bf16 activations through the CNN; params are cast per-op by XLA.
-            img = img.astype(dtype)
-            variables = jax.tree.map(lambda p: p.astype(dtype), variables)
-        out = self.net_depth.apply(variables, img)
-        return out.astype(jnp.float32)
+        def fwd(params_depth, stats_depth, img):
+            variables = {"params": params_depth}
+            if stats_depth:
+                variables["batch_stats"] = stats_depth
+            dtype = jnp.dtype(self.cfg.compute_dtype)
+            if dtype != jnp.float32:
+                # bf16 activations through the CNN; params cast per-op by XLA
+                img = img.astype(dtype)
+                variables = jax.tree.map(lambda p: p.astype(dtype), variables)
+            return self.net_depth.apply(variables, img).astype(jnp.float32)
+
+        if self.cfg.remat_depth:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params_depth, stats_depth, img)
 
     def _sf_use_pallas(self) -> bool:
         if self.cfg.use_cnn:

@@ -5,6 +5,7 @@ import sys
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, "tests")
 
@@ -84,3 +85,36 @@ def test_warm_reg_enables_reg_during_warmup(rng):
     state = step.init_state(jax.random.PRNGKey(2), b["img_1"])
     _, logs = step.train_step(state, b, steps=1, warm=True)
     assert float(logs["acc_reg"]) > 0.0
+
+
+def test_remat_depth_matches_plain(rng):
+    """--remat_depth (jax.checkpoint around the depth forward) must not
+    change values or updates — it only trades FLOPs for activation HBM."""
+    import __graft_entry__ as g
+    from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+    from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    def cfg(remat):
+        return TrainStepConfig(
+            lr=1e-4, scene_lr_mul=10.0, depth_net="tiny", net_width=16,
+            n_layers=1, n_freq_xyz=2, n_freq_t=1,
+            loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                            use_disp=True, midas=False),
+            compute_dtype="float32", remat_depth=remat,
+        )
+
+    s_ref = SceneFlowMotionFieldStep(cfg(False))
+    state0 = s_ref.init_state(jax.random.PRNGKey(2), batch["img_1"])
+    ref_state, ref_logs = s_ref.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False)
+    s_rm = SceneFlowMotionFieldStep(cfg(True))
+    rm_state, rm_logs = s_rm.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False)
+    np.testing.assert_allclose(float(rm_logs["loss"]),
+                               float(ref_logs["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params_depth),
+                    jax.tree.leaves(rm_state.params_depth)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
