@@ -333,3 +333,60 @@ def test_fleet_scan_matches_sequential_steps(tracks):
                      jax.tree.leaves(s_scan.params_sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_fleet_with_pallas_kernels_matches_xla_fleet(rng):
+    """The multi-video fleet on real TPU runs the fused Pallas kernels
+    INSIDE shard_map — pin that composition: a fleet step with all three
+    kernels on (interpret mode) matches the all-XLA fleet step exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+    from dynamic_video_depth_tpu.parallel import MultiVideoOptimizer, make_mesh
+    from dynamic_video_depth_tpu.parallel.multi_video import tree_stack
+    from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+    from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+    def cfg(pallas):
+        mode = "on" if pallas else "off"
+        return TrainStepConfig(
+            lr=1e-4, scene_lr_mul=10.0, depth_net="tiny", net_width=32,
+            n_layers=2, n_freq_xyz=4, n_freq_t=2,
+            loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                            use_disp=True, midas=False),
+            compute_dtype="float32", use_pallas_sf=mode,
+            use_pallas_warp=mode, use_pallas_loss=mode,
+        )
+
+    n_videos = 4
+    mesh = make_mesh([("video", n_videos)], devices=jax.devices()[:n_videos])
+    batches = tree_stack([g._synthetic_batch(1, 16, 24, rng)
+                          for _ in range(n_videos)])
+
+    step_ref = SceneFlowMotionFieldStep(cfg(False))
+    states0 = tree_stack([
+        step_ref.init_state(jax.random.PRNGKey(i), jnp.zeros((1, 16, 24, 3)))
+        for i in range(n_videos)
+    ])
+    fleet_ref = MultiVideoOptimizer(step_ref, mesh)
+    sr = jax.device_put(jax.tree.map(jnp.copy, states0),
+                        fleet_ref.state_sharding())
+    br = jax.device_put(batches, fleet_ref.state_sharding())
+    ref_states, ref_logs = fleet_ref.train_step(sr, br, steps=2, warm=False)
+    ref_loss = np.asarray(ref_logs["loss"])
+
+    step_pl = SceneFlowMotionFieldStep(cfg(True))
+    fleet_pl = MultiVideoOptimizer(step_pl, mesh)
+    sp = jax.device_put(jax.tree.map(jnp.copy, states0),
+                        fleet_pl.state_sharding())
+    bp = jax.device_put(batches, fleet_pl.state_sharding())
+    with pltpu.force_tpu_interpret_mode():
+        pl_states, pl_logs = fleet_pl.train_step(sp, bp, steps=2, warm=False)
+        pl_loss = np.asarray(pl_logs["loss"])
+        pl_params = jax.device_get(pl_states.params_sf)
+
+    np.testing.assert_allclose(pl_loss, ref_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ref_states.params_sf)),
+                    jax.tree.leaves(pl_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
