@@ -112,9 +112,13 @@ class Trainer:
         chunks = []
         for gap, idxs in sorted(by_gap.items()):
             idxs = list(self.rng.permutation(idxs))
-            # wrap so every sample appears; last chunk reuses early samples
+            # wrap so every sample appears; the last chunk reuses early
+            # samples cyclically (a bucket may be SMALLER than k: short
+            # videos with large gaps pack n-1-gap pairs)
+            base, j = len(idxs), 0
             while len(idxs) % k:
-                idxs.append(idxs[len(idxs) % k])
+                idxs.append(idxs[j % base])
+                j += 1
             for j in range(0, len(idxs), k):
                 chunks.append(tuple(idxs[j:j + k]))
         return chunks

@@ -97,3 +97,18 @@ def test_chunk_scan_matches_sequential_steps(root):
                     jax.tree.leaves(m.state.params_sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_bucket_smaller_than_k(root):
+    """A gap bucket SMALLER than steps_per_dispatch must wrap cyclically
+    (short videos with large gaps pack n-1-gap pairs; the old wrap logic
+    indexed out of range and crashed the 40k-step protocol at startup)."""
+    # 10 frames, gaps (1, 2): buckets of 8 and 7 samples; K=16 > both
+    opt = make_opt(root, steps_per_dispatch=16, epoch_batches=16)
+    ds_t = get_dataset("davis_sequence")(opt, mode="train")
+    ds_v = get_dataset("davis_sequence")(opt, mode="vali")
+    m = Model(opt)
+    m.init_from_sample(ds_t[0]["img_1"])
+    cum = LogCumulator()
+    Trainer(m, ds_t, ds_v, ComposeLogger([cum]), opt).train(1)
+    assert np.isfinite(cum.epoch_logs["loss"])
