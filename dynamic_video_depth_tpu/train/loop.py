@@ -19,6 +19,16 @@ from ..data.prefetch import BatchLoader, DeviceCache, DevicePrefetcher
 from ..runtime.loggers import ComposeLogger, LogCumulator
 
 
+def group_by_gap(gap_of, n: int):
+    """Sample indices bucketed by frame gap (every lockstep/scan dispatch
+    needs one static gap). Shared by the single-video chunk/group builders
+    and the fleet driver."""
+    by_gap = {}
+    for i in range(n):
+        by_gap.setdefault(gap_of(i), []).append(i)
+    return by_gap
+
+
 class _GroupedDataset:
     """Indexable view collating fixed groups of same-gap samples."""
 
@@ -106,9 +116,7 @@ class Trainer:
         else:
             gap_of = source.gap_of
             n = len(source.file_list)
-        by_gap = {}
-        for i in range(n):
-            by_gap.setdefault(gap_of(i), []).append(i)
+        by_gap = group_by_gap(gap_of, n)
         chunks = []
         for gap, idxs in sorted(by_gap.items()):
             idxs = list(self.rng.permutation(idxs))
@@ -125,9 +133,7 @@ class Trainer:
 
     def _fixed_groups(self, batch_size: int):
         ds = self.dataset_train
-        by_gap = {}
-        for i in range(len(ds.file_list)):
-            by_gap.setdefault(ds.gap_of(i), []).append(i)
+        by_gap = group_by_gap(ds.gap_of, len(ds.file_list))
         groups = []
         for gap, idxs in sorted(by_gap.items()):
             idxs = list(self.rng.permutation(idxs))

@@ -163,13 +163,9 @@ def main():
 
     rng = np.random.RandomState(opt.manual_seed or 0)
     # group files per gap so every lockstep call has one static gap
-    def gap_orders(ds):
-        by_gap = {}
-        for i in range(len(ds.file_list)):
-            by_gap.setdefault(ds.gap_of(i), []).append(i)
-        return by_gap
+    from dynamic_video_depth_tpu.train.loop import group_by_gap
 
-    orders = [gap_orders(ds) for ds in datasets]
+    orders = [group_by_gap(ds.gap_of, len(ds.file_list)) for ds in datasets]
     gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
     # gap sampled proportional to pair count, matching the reference's
     # concatenated per-gap file list (reference: datasets/davis_sequence.py:
@@ -229,13 +225,18 @@ def main():
     metric_keys = None
 
     def _flush_pending(entry, keys):
-        """One-step-behind async metric flush (fleet means per metric)."""
+        """One-dispatch-behind async metric flush (fleet means per metric).
+        ``packed`` is [V, n_metrics] (single step) or [V, K, n_metrics]
+        (chunked scan: one log row per inner step)."""
         it0, packed = entry
-        vals = np.asarray(packed)  # [V, n_metrics]
-        mean_logs = {mk: float(np.mean(vals[:, mi]))
-                     for mi, mk in enumerate(keys)}
-        mean_logs["size"] = vals.shape[0]
-        logger.on_batch_end(it0, mean_logs)
+        vals = np.asarray(packed)
+        if vals.ndim == 2:
+            vals = vals[:, None, :]
+        for ki in range(vals.shape[1]):
+            mean_logs = {mk: float(np.mean(vals[:, ki, mi]))
+                         for mi, mk in enumerate(keys)}
+            mean_logs["size"] = vals.shape[0]
+            logger.on_batch_end(it0 + ki, mean_logs)
 
     for epoch in range(start_epoch, opt.epoch + 1):
         warm = epoch <= getattr(opt, "warm_sf", 0)
@@ -259,14 +260,16 @@ def main():
                     states, chunk, steps=euler_steps, warm=warm)
                 if metric_keys is None:
                     metric_keys = sorted(base.metrics_packed)
-                packed = np.asarray(packed)  # [V, K, n_metrics]
-                for ki in range(k):
-                    mean_logs = {
-                        mk: float(np.mean(packed[:, ki, mi]))
-                        for mi, mk in enumerate(metric_keys)
-                    }
-                    mean_logs["size"] = n_videos
-                    logger.on_batch_end(it_ + ki, mean_logs)
+                # fetched ONE DISPATCH BEHIND like the k=1 path: a sync
+                # read here would give back part of the latency the scan
+                # amortizes (CLAUDE.md: keep host syncs out of the hot loop)
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending is not None:
+                    _flush_pending(pending, metric_keys)
+                pending = (it_, packed)
             else:
                 if dp > 1:
                     idx_lists = [
