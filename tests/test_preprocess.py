@@ -240,3 +240,51 @@ def test_batch_flow_fn_small_final_chunk(rng):
     sf12, sf21 = serial(im1[0], im2[0])
     np.testing.assert_allclose(f12[0], sf12, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(f21[0], sf21, rtol=1e-4, atol=1e-4)
+
+
+def test_shutterstock_h5_stage1(tmp_path, rng):
+    """The shutterstock runner's h5 stage-1 path: schema-compatible h5
+    frames -> calibrated reference-layout npz (true scaled MVS depth kept
+    as depth_mvs, unlike DAVIS — reference: shutterstock
+    generate_frame_midas.py:154-186)."""
+    import sys as _sys
+    from os.path import dirname
+
+    import h5py
+
+    _sys.path.insert(0, join(dirname(dirname(__file__)),
+                             "scripts", "preprocess"))
+    from run_shutterstock import process_track_h5
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    files = []
+    for i in range(3):
+        p = str(raw / f"frame_{i}.h5")
+        with h5py.File(p, "w") as hf:
+            g = hf.create_group("prediction")
+            g["img"] = rng.rand(40, 64, 3).astype(np.float32)
+            # mvs depth = exactly half the depth_fn output -> scale s = 2
+            img = np.asarray(hf["prediction/img"])
+            g["mvs_depth"] = (tiny_depth_fn(img[None])[0] / 2.0).astype(
+                np.float32)
+            T = np.eye(4)
+            T[:3, 3] = [0.1 * i, 0, 0.05]
+            g["T_1_G"] = T
+            g["K"] = np.array([[50.0, 0, 32], [0, 50.0, 20], [0, 0, 1]],
+                              np.float32)
+        files.append(p)
+
+    out = str(tmp_path / "frames_midas" / "track")
+    s = process_track_h5(files, out, tiny_depth_fn)
+    np.testing.assert_allclose(s, 2.0, rtol=1e-5)
+    d = dict(np.load(join(out, "frame_00000.npz")))
+    h, w = d["img"].shape[:2]
+    assert h % 32 == 0 and w % 32 == 0 and max(h, w) <= 384
+    # pose = inv(T with translation scaled by s)
+    T = np.eye(4)
+    T[:3, 3] = [0, 0, 0.05 * 2.0]
+    np.testing.assert_allclose(d["pose_c2w"], np.linalg.inv(T), atol=1e-6)
+    # scaled mvs stored as depth_mvs ~ depth_pred (scale calibrated)
+    np.testing.assert_allclose(d["depth_mvs"], d["depth_pred"], rtol=1e-3)
+    assert d["img_orig"].shape == (40, 64, 3)
