@@ -38,6 +38,14 @@ def tree_index(tree, i: int):
     return jax.tree.map(lambda x: x[i], tree)
 
 
+def _broadcast_state(state, n_videos: int, sharding):
+    """Replicate one (e.g. pretrained-initialized) state to all videos."""
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_videos,) + x.shape), state
+    )
+    return jax.device_put(stacked, sharding)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         from jax import shard_map  # jax >= 0.6 stable API
@@ -72,11 +80,7 @@ class MultiVideoOptimizer:
         return jax.device_put(tree_stack(states), self.state_sharding())
 
     def broadcast_state(self, state: TrainState, n_videos: int) -> TrainState:
-        """Replicate one (e.g. pretrained-initialized) state to all videos."""
-        stacked = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (n_videos,) + x.shape), state
-        )
-        return jax.device_put(stacked, self.state_sharding())
+        return _broadcast_state(state, n_videos, self.state_sharding())
 
     @partial(jax.jit, static_argnames=("self", "steps", "warm"),
              donate_argnames=("states",))
@@ -178,12 +182,8 @@ class MultiVideoDataParallel:
         return NamedSharding(self.mesh, P(self.video_axis))
 
     def broadcast_state(self, state: TrainState, n_videos: int) -> TrainState:
-        """Replicate one (e.g. pretrained-initialized) state to all video
-        rows (replicated over the data axis)."""
-        stacked = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (n_videos,) + x.shape), state
-        )
-        return jax.device_put(stacked, self.state_sharding())
+        """Replicated over the data axis within each video row."""
+        return _broadcast_state(state, n_videos, self.state_sharding())
 
     def _batch_spec(self, leaf) -> P:
         if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[1] % self.n_data == 0:

@@ -252,11 +252,21 @@ def process_track(frame_dir: str, out_dir: str,
         return dict(np.load(files[i], allow_pickle=True))
 
     h, w = load(0)["img"].shape[:2] if files else (0, 0)
-    prepped: dict[int, np.ndarray] = {}
+    # bounded LRU of RAFT-resolution frames: pairs reference each frame
+    # across all gaps, but an unbounded cache holds the whole track in host
+    # RAM (~1 GB for a reference-scale track)
+    from collections import OrderedDict
+
+    prepped: OrderedDict = OrderedDict()
+    max_cached = max(64, 4 * batch_pairs)
 
     def prep(i):
-        if i not in prepped:
+        if i in prepped:
+            prepped.move_to_end(i)
+        else:
             prepped[i] = _prep_raft_input(load(i), raft_res)
+            while len(prepped) > max_cached:
+                prepped.popitem(last=False)
         return prepped[i]
 
     pair_list = [(k, k + g) for g in gaps for k in range(len(files) - g)]

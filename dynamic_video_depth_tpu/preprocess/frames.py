@@ -226,6 +226,7 @@ def process_davis_track(
     depth_fn: Callable[[np.ndarray], np.ndarray],
     max_width: int = 384,
     multiple_of: int = 64,
+    depth_batch: int = 4,
 ) -> float:
     """Exact DAVIS stage-1 (reference: scripts/preprocess/davis/
     generate_frame_midas.py:40-147): depth-net inference at the original
@@ -246,8 +247,13 @@ def process_davis_track(
     flip = np.diag([1.0, -1.0, -1.0, 1.0])
     extr = flip[None] @ np.linalg.inv(matrices)  # [F, 4, 4] w2c, vision axes
 
-    # depth at original resolution, frame by frame (arbitrary input sizes)
-    pred_depths = [np.asarray(depth_fn(im[None]))[0] for im in imgs]
+    # depth at original resolution; frames of one track share a shape, so
+    # batch the dispatches (a sharded depth_fn splits each batch over its
+    # mesh — per-frame calls would only compute duplicate copies)
+    pred_depths = []
+    for i in range(0, len(imgs), depth_batch):
+        chunk = np.stack(imgs[i:i + depth_batch])
+        pred_depths.extend(np.asarray(depth_fn(chunk)))
 
     s = sparse_calibration_scale(points_3d, extr, K, pred_depths, object_masks)
 
@@ -314,7 +320,10 @@ def make_midas_depth_fn(resize: Optional[tuple] = None, mesh=None):
             d = mesh.devices.size
             pad = (-n) % d
             if pad:
-                arr = np.concatenate([arr, arr[:pad]], axis=0)
+                # cycle rows: the batch can be smaller than the pad
+                total = n + pad
+                reps = -(-total // n)
+                arr = np.concatenate([arr] * reps, axis=0)[:total]
             arr = jax.device_put(jnp.asarray(arr), shard)
         else:
             arr = jnp.asarray(arr)

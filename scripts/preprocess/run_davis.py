@@ -71,28 +71,25 @@ def main():
     seq_dir = join(args.out_root, "sequences_select_pairs_midas", args.track, "001")
     gaps = [int(g) for g in args.gaps.split(",")]
 
+    mesh = None
+    if args.n_chips > 1:
+        from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh([("data", args.n_chips)])
+
     if args.stage in ("all", "frames"):
         imgs, matrices, K, points_3d, masks = load_davis_track(
             args.raw_root, args.track
         )
-        mesh1 = None
-        if args.n_chips > 1:
-            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
-
-            mesh1 = make_mesh([("data", args.n_chips)])
-        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh1)
+        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh)
         s = frames_mod.process_davis_track(
             imgs, matrices, K, points_3d, masks, frame_dir, depth_fn,
             max_width=384, multiple_of=64,
+            depth_batch=max(args.n_chips, 4),
         )
         print(f"stage 1 done: {len(imgs)} frames, scale {s:.4f}")
 
     if args.stage in ("all", "flows"):
-        mesh = None
-        if args.n_chips > 1:
-            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh([("data", args.n_chips)])
         flows.process_track(frame_dir, flow_dir, gaps=gaps,
                             ckpt_path=args.raft_ckpt, mesh=mesh)
         print("stage 2 done")

@@ -38,7 +38,7 @@ def get_im_size(h, w, dim_max=384, multiple=32):
     return th, tw
 
 
-def process_track_h5(h5_files, out_dir, depth_fn):
+def process_track_h5(h5_files, out_dir, depth_fn, depth_batch=4):
     import h5py
 
     from dynamic_video_depth_tpu.preprocess.frames import (
@@ -49,12 +49,15 @@ def process_track_h5(h5_files, out_dir, depth_fn):
     os.makedirs(out_dir, exist_ok=True)
     handles = [h5py.File(f, "r") for f in h5_files]
 
-    imgs, preds, mvs = [], [], []
+    imgs, mvs = [], []
     for hf in handles:
-        img = np.asarray(hf["prediction/img"], np.float32)
-        imgs.append(img)
-        preds.append(np.asarray(depth_fn(img[None]))[0])
+        imgs.append(np.asarray(hf["prediction/img"], np.float32))
         mvs.append(np.asarray(hf["prediction/mvs_depth"], np.float32))
+    # batch the depth dispatches (frames of one track share a shape; a
+    # sharded depth_fn splits each batch over its mesh)
+    preds = []
+    for i in range(0, len(imgs), depth_batch):
+        preds.extend(np.asarray(depth_fn(np.stack(imgs[i:i + depth_batch]))))
 
     # scale from dense mvs validity (reference :154-161)
     scales = []
@@ -104,26 +107,23 @@ def main():
     seq_dir = join(args.out_root, "sequences_select_pairs_midas", args.track, "001")
     gaps = [int(g) for g in args.gaps.split(",")]
 
+    mesh = None
+    if args.n_chips > 1:
+        from dynamic_video_depth_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh([("data", args.n_chips)])
+
     if args.stage in ("all", "frames"):
         files = sorted(
             glob(join(args.raw_root, args.track, "*.h5")),
             key=lambda f: int(f.split("_")[-1].split(".")[0]),
         )
-        mesh1 = None
-        if args.n_chips > 1:
-            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
-
-            mesh1 = make_mesh([("data", args.n_chips)])
-        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh1)
-        s = process_track_h5(files, frame_dir, depth_fn)
+        depth_fn = frames_mod.make_midas_depth_fn(mesh=mesh)
+        s = process_track_h5(files, frame_dir, depth_fn,
+                             depth_batch=max(args.n_chips, 4))
         print(f"stage 1 done: {len(files)} frames, scale {s:.4f}")
 
     if args.stage in ("all", "flows"):
-        mesh = None
-        if args.n_chips > 1:
-            from dynamic_video_depth_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh([("data", args.n_chips)])
         flows.process_track(frame_dir, flow_dir, gaps=gaps,
                             ckpt_path=args.raft_ckpt, mesh=mesh)
         print("stage 2 done")

@@ -222,6 +222,9 @@ def test_stage1_depth_fn_sharded_matches_serial(rng):
     # random-init MiDaS's 10000/clamp(x, 1e-2) head emits values up to 1e6,
     # amplifying batch-tiling float noise; 1e-3 relative is layout parity
     np.testing.assert_allclose(sharded, serial, rtol=1e-3, atol=1e-4)
+    # a batch SMALLER than the pad (n=1, pad=7) must cycle, not crash
+    one = frames_mod.make_midas_depth_fn(mesh=mesh)(imgs[:1])
+    np.testing.assert_allclose(one, serial[:1], rtol=1e-3, atol=1e-4)
 
 
 def test_batch_flow_fn_small_final_chunk(rng):

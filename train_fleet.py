@@ -200,6 +200,10 @@ def main():
         train_cache = FleetBatchCache(datasets, mesh)
         vali_cache = FleetBatchCache(vali_sets, mesh)
     bsz = opt.batch_size if opt.batch_size % dp == 0 else dp
+    if dp > 1 and bsz != opt.batch_size:
+        print(f"--dp {dp} with --batch_size {opt.batch_size}: training "
+              f"with {bsz} same-gap pairs per video per step (the data "
+              f"axis needs a divisible pair batch)")
 
     def host_stacked(ds_list, idx_lists):
         """[V][B] sample indices -> host-stacked fleet batch [V, B, ...]
