@@ -196,3 +196,15 @@ def test_train_cli_migrates_reference_checkpoint(workdir):
               "scene_flow_motion_field_davis_sequence_track_dog" / "0")
     meta = json.load(open(logdir / "checkpoint.ckpt.json"))
     assert meta["epoch"] == 8
+
+    # round trip: export the trained state back to the reference format
+    # through the CLI script (opt.json rehydration + template-guided port)
+    out_pt = str(workdir / "exported_checkpoint.pt")
+    run([sys.executable,
+         os.path.join(REPO, "scripts", "export_reference_checkpoint.py"),
+         "--checkpoint", str(logdir / "best.ckpt"),
+         "--template", ref_ckpt, "--out", out_pt], cwd=workdir)
+    exported = torch.load(out_pt, weights_only=False)
+    net_d.load_state_dict(exported["nets"][0], strict=True)
+    net_sf.load_state_dict(exported["nets"][1], strict=True)
+    assert "optimizers" in exported
