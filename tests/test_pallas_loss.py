@@ -180,3 +180,53 @@ def test_batched(rng):
         np.asarray(logs_ker["loss"]), np.asarray(logs_ref["loss"]),
         rtol=2e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("seed,scale", [(1, 100.0), (2, 1e-4), (3, 1e4)])
+def test_fuzz_extremes_match_xla(seed, scale):
+    """Extreme regimes — huge/tiny coordinates, saturated flows, points
+    behind the camera, near-zero mask mass — must stay finite and match
+    the XLA path (values AND gradients)."""
+    rng = np.random.RandomState(seed)
+    cfg = LossConfig(flow_mul=1.0, disp_mul=1.0, use_disp=True, midas=True)
+    b, h, w = 1, 12, 20
+    gp1 = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * scale)
+    w3 = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * scale)
+    sf = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * scale * 0.1)
+    fgt = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32) * 50.0)
+    mask = jnp.asarray(
+        (rng.rand(b, h, w) > 0.95).astype(np.float32))  # ~5% mass
+    d1 = jnp.asarray(np.abs(rng.randn(b, h, w)).astype(np.float32) * scale)
+    cam = make_camera(rng, b)
+    args = (gp1, w3, sf, fgt, mask, d1, cam)
+
+    _, logs_ref = xla_losses(*args, cfg, False)
+    _, logs_ker = kernel_losses(*args, cfg, False)
+    for k in ("loss", "flow_loss_1_2", "disp_loss_1_2", "sf_loss"):
+        a, r = float(logs_ker[k]), float(logs_ref[k])
+        assert np.isfinite(a), (k, scale)
+        np.testing.assert_allclose(a, r, rtol=5e-4, atol=1e-6, err_msg=k)
+
+    g_ref = jax.grad(lambda *x: xla_losses(*x, cfg, False)[0],
+                     argnums=(0, 1, 2))(*args)
+    g_ker = jax.grad(lambda *x: kernel_losses(*x, cfg, False)[0],
+                     argnums=(0, 1, 2))(*args)
+    for a, r in zip(g_ker, g_ref):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=5e-4, atol=1e-7)
+
+
+def test_zero_mask_mass(rng):
+    """mask == 0 everywhere: losses are exactly 0 (0 / (0 + eps)) and all
+    gradients are zero — no NaN from the empty denominator."""
+    cfg = LossConfig(flow_mul=1.0, disp_mul=1.0, use_disp=True, midas=True)
+    gp1, w3, sf, fgt, _, d1, cam = make_inputs(rng)
+    mask = jnp.zeros(d1.shape, jnp.float32)
+    args = (gp1, w3, sf, fgt, mask, d1, cam)
+    loss, logs = kernel_losses(*args, cfg, False)
+    assert float(loss) == 0.0
+    g = jax.grad(lambda *x: kernel_losses(*x, cfg, False)[0],
+                 argnums=(0, 1, 2))(*args)
+    for a in g:
+        assert float(jnp.abs(a).max()) == 0.0
