@@ -20,8 +20,13 @@ import numpy as np
 _HOST_KEYS_SKIP = ("pair_path", "steps")
 
 
-def split_host_device(batch: Dict) -> Dict:
-    return {k: v for k, v in batch.items() if k not in _HOST_KEYS_SKIP}
+def split_host_device(batch: Dict):
+    """(device_leaves, host_leaves): host-only keys (paths, python-side step
+    metadata) never reach device_put / jit. The single source of the split —
+    used by the trainer, the prefetcher and the device caches."""
+    dev = {k: v for k, v in batch.items() if k not in _HOST_KEYS_SKIP}
+    host = {k: v for k, v in batch.items() if k in _HOST_KEYS_SKIP}
+    return dev, host
 
 
 class BatchLoader:
@@ -41,16 +46,29 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """stop-aware put: a plain q.put can block forever on a full
+            queue after the consumer abandoned the iterator (NaN abort,
+            exception), leaking the thread + queued batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for i in self.order:
                     if stop.is_set():
                         return
-                    q.put((i, self.dataset[i]))
+                    if not put((i, self.dataset[i])):
+                        return
             except Exception as e:  # surface loader errors on the main thread
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -121,9 +139,13 @@ class FleetBatchCache:
         self.axis = axis
         self._sharding = NamedSharding(mesh, PartitionSpec(axis))
         devices = list(mesh.devices.reshape(-1))
-        if len(datasets) > len(devices):
+        if len(datasets) != mesh.shape[axis]:
+            # stacked() hands one shard per video to a sharding over the
+            # full axis — a count mismatch would fail (or misassemble) at
+            # the first batch; fail loudly at construction instead
             raise ValueError(
-                f"{len(datasets)} videos > {len(devices)} mesh devices"
+                f"{len(datasets)} videos != mesh '{axis}' axis size "
+                f"{mesh.shape[axis]}"
             )
         self.datasets = datasets
         self.devices = devices[: len(datasets)]
@@ -197,12 +219,9 @@ class DevicePrefetcher:
 
     def _put(self, item):
         idx, batch = item
-        host = {k: v for k, v in batch.items() if k in _HOST_KEYS_SKIP}
-        dev = {
-            k: jax.device_put(np.asarray(v), self.device)
-            for k, v in batch.items()
-            if k not in _HOST_KEYS_SKIP
-        }
+        dev, host = split_host_device(batch)
+        dev = {k: jax.device_put(np.asarray(v), self.device)
+               for k, v in dev.items()}
         return idx, dev, host
 
     def __iter__(self):

@@ -6,7 +6,11 @@ train.py:150-186): ``checkpoint`` every epoch, ``nets/%04d`` periodic,
 ``test.py`` rehydrates (reference: test.py:81-84).
 
 Format: flax msgpack serialization of the full TrainState pytree plus a json
-sidecar with {epoch, best, metadata}. Single-file, atomic-rename writes.
+sidecar with {epoch, best, metadata}. Both files are written via atomic
+rename; the ckpt lands before its sidecar, so a crash between the two
+leaves a NEW ckpt with a stale sidecar — resume then merely replays one
+epoch (the safe direction; the reverse pairing would claim progress the
+params don't have).
 """
 
 from __future__ import annotations
@@ -20,29 +24,45 @@ import jax
 from flax import serialization
 
 
+def _atomic_write(path: str, data: bytes, mode: str = "wb"):
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d)
+    try:
+        with os.fdopen(fd, mode) as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def save_state(path: str, state: Any, epoch: int = 0, best: float = float("inf"),
                extra: Optional[Dict] = None):
     """Serialize ``state`` to ``path`` (.ckpt msgpack + .json sidecar)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = jax.device_get(state)
-    data = serialization.to_bytes(state)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
-    with os.fdopen(fd, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    _atomic_write(path, serialization.to_bytes(state))
     meta = {"epoch": int(epoch), "best": float(best), **(extra or {})}
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f)
+    _atomic_write(path + ".json", json.dumps(meta).encode(), "wb")
 
 
 def load_state(path: str, template: Any) -> Tuple[Any, Dict]:
-    """Deserialize into the structure of ``template``; returns (state, meta)."""
+    """Deserialize into the structure of ``template``; returns (state, meta).
+    A missing or corrupt sidecar degrades to empty metadata (resume replays
+    an epoch) rather than refusing to load the checkpoint."""
     with open(path, "rb") as f:
         state = serialization.from_bytes(template, f.read())
     meta = {}
     if os.path.isfile(path + ".json"):
-        with open(path + ".json") as f:
-            meta = json.load(f)
+        try:
+            with open(path + ".json") as f:
+                meta = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"Warning: unreadable checkpoint sidecar {path}.json "
+                  f"({e}); continuing with empty metadata")
     return state, meta
 
 
@@ -51,46 +71,46 @@ class AsyncSaver:
 
     Device->host fetch + serialization of a 1.3 GB MiDaS state blocks the
     step loop for seconds per epoch; the saver snapshots on a worker thread.
-    If a save is still in flight when the next lands, the pending one is
-    replaced (periodic checkpoints are idempotent); ``flush()`` drains."""
+    ``save`` applies back-pressure: if the previous save is still in flight
+    the caller blocks for the queue slot (best.ckpt / nets/%04d must not be
+    dropped). ``flush()`` drains; an atexit hook drains on interpreter exit
+    so an exception that skips the caller's flush cannot lose the in-flight
+    end-of-epoch checkpoint."""
 
     def __init__(self):
+        import atexit
         import queue
         import threading
 
         self._q = queue.Queue(maxsize=1)
         self._t = threading.Thread(target=self._worker, daemon=True)
         self._t.start()
-        self._idle = threading.Event()
-        self._idle.set()
+        atexit.register(self._drain_at_exit)
 
     def _worker(self):
         while True:
             job = self._q.get()
-            if job is None:
-                return
             path, state, epoch, best, extra = job
             try:
                 save_state(path, state, epoch=epoch, best=best, extra=extra)
             except Exception as e:  # surface without killing the loop
                 print(f"Warning: async checkpoint save failed: {e}")
             finally:
-                self._idle.set()
                 self._q.task_done()
 
     def save(self, path, state, epoch=0, best=float("inf"), extra=None):
-        import queue
-
-        self._idle.clear()
-        try:
-            self._q.put_nowait((path, state, epoch, best, extra))
-        except queue.Full:
-            # previous save still pending; wait for the slot (best.ckpt and
-            # nets/%04d must not be dropped)
-            self._q.put((path, state, epoch, best, extra))
+        self._q.put((path, state, epoch, best, extra))
 
     def flush(self):
         self._q.join()
+
+    def _drain_at_exit(self):
+        try:
+            if self._q.unfinished_tasks:
+                print("Draining in-flight checkpoint saves...")
+                self._q.join()
+        except Exception:
+            pass
 
 
 def save_opt(logdir: str, opt) -> None:

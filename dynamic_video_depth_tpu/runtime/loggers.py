@@ -93,16 +93,19 @@ class LogCumulator(BaseLogger):
         for k, v in logs.items():
             if k == "size":
                 continue
-            self._values.setdefault(k, []).append(v)
+            # pair each value with ITS batch's size: a metric absent from
+            # some batches (mixed log paths) must weight by the sizes of the
+            # batches that actually logged it, not positionally by the first
+            # n sizes (which silently mis-weights and under-normalizes)
+            self._values.setdefault(k, []).append((v, size))
 
     def get_epoch_logs(self):
-        sizes = np.asarray(self._sizes, np.float64)
-        total = sizes.sum() if len(sizes) else 1.0
         out = {}
-        for k, vals in self._values.items():
-            vals_f = np.asarray([_scalar(v) for v in vals], np.float64)
-            n = min(len(vals_f), len(sizes))
-            out[k] = float((vals_f[:n] * sizes[:n]).sum() / total)
+        for k, pairs in self._values.items():
+            vals = np.asarray([_scalar(v) for v, _ in pairs], np.float64)
+            sizes = np.asarray([s for _, s in pairs], np.float64)
+            total = sizes.sum() if len(sizes) else 1.0
+            out[k] = float((vals * sizes).sum() / total)
         return out
 
     def on_epoch_end(self, epoch, logs=None):
@@ -185,16 +188,32 @@ class CsvLogger(BaseLogger):
 
     def on_train_begin(self):
         os.makedirs(os.path.dirname(self.filepath), exist_ok=True)
-        exists = os.path.isfile(self.filepath)
+        # an empty file (e.g. a run that crashed before its first epoch)
+        # counts as fresh — appending to it would produce a headerless CSV
+        self._resume_keys = None
+        exists = (os.path.isfile(self.filepath)
+                  and os.path.getsize(self.filepath) > 0)
+        if exists:
+            with open(self.filepath, newline="") as f:
+                header = f.readline().strip()
+            self._resume_keys = header.split(",") if header else None
         self._file = open(self.filepath, "a", newline="")
         self._writer = None
-        self._append = exists
+        self._append = exists and self._resume_keys is not None
 
     def on_epoch_end(self, epoch, logs=None):
         logs = dict(self.cumulator.epoch_logs)
         logs["epoch"] = epoch
         if self._writer is None:
             self._keys = sorted(logs.keys())
+            if self._append and self._resume_keys:
+                # keep the existing column order across resumes; absent
+                # metrics leave blank cells instead of misaligned rows
+                if set(self._keys) != set(self._resume_keys):
+                    print(f"Warning: resumed CSV {self.filepath} has columns "
+                          f"{self._resume_keys}; this run logs "
+                          f"{self._keys} — keeping the file's order")
+                self._keys = self._resume_keys
             self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
                                           extrasaction="ignore")
             if not self._append:
@@ -208,37 +227,44 @@ class CsvLogger(BaseLogger):
 
 
 class BatchCsvLogger(BaseLogger):
-    """Per-batch CSV (reference: loggers/loggers.py:225-256)."""
+    """Per-batch CSV (reference: loggers/loggers.py:225-256).
+
+    Rows are written (and flushed) as they arrive, like the reference — a
+    NaN abort mid-epoch must leave the trace UP TO the failing batch on
+    disk, which is exactly the data needed to debug the divergence."""
 
     def __init__(self, filepath: str):
         super().__init__()
         self.filepath = filepath
-        self._rows = []
         self.epoch = 0
+        self._file = None
+        self._writer = None
 
     def on_epoch_begin(self, epoch):
         self.epoch = epoch
 
     def on_batch_end(self, batch, logs=None):
-        logs = logs or {}
-        self._rows.append((self.epoch, batch, dict(logs)))
+        row = {k: _scalar(v) for k, v in (logs or {}).items()}
+        row.update(epoch=self.epoch, batch=batch)
+        if self._writer is None:
+            os.makedirs(os.path.dirname(self.filepath), exist_ok=True)
+            exists = (os.path.isfile(self.filepath)
+                      and os.path.getsize(self.filepath) > 0)
+            self._file = open(self.filepath, "a", newline="")
+            self._writer = csv.DictWriter(
+                self._file, fieldnames=sorted(row.keys()),
+                extrasaction="ignore",
+            )
+            if not exists:
+                self._writer.writeheader()
+        self._writer.writerow(row)
+        self._file.flush()
 
-    def on_epoch_end(self, epoch, logs=None):
-        os.makedirs(os.path.dirname(self.filepath), exist_ok=True)
-        exists = os.path.isfile(self.filepath)
-        with open(self.filepath, "a", newline="") as f:
-            writer = None
-            for ep, batch, row in self._rows:
-                row = {k: _scalar(v) for k, v in row.items()}
-                row.update(epoch=ep, batch=batch)
-                if writer is None:
-                    writer = csv.DictWriter(f, fieldnames=sorted(row.keys()),
-                                            extrasaction="ignore")
-                    if not exists:
-                        writer.writeheader()
-                        exists = True
-                writer.writerow(row)
-        self._rows = []
+    def on_train_end(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+            self._writer = None
 
 
 class TerminateOnNaN(BaseLogger):
@@ -358,6 +384,19 @@ class HtmlLogger(BaseLogger):
         self.logdir = logdir
         self.cumulator = cumulator
         self.history = []
+
+    def on_train_begin(self):
+        # seed from a previous run's progress.json so a --resume keeps the
+        # dashboard's full epoch history instead of erasing it
+        import json
+
+        path = join(self.logdir, "progress.json")
+        if not self.history and os.path.isfile(path):
+            try:
+                with open(path) as f:
+                    self.history = list(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                pass
 
     def on_epoch_end(self, epoch, logs=None):
         import json

@@ -296,13 +296,11 @@ class Trainer:
         """Yield (idx, device_batch, host_extras). Device-cached sources put
         batches on device inside the background loader thread; streaming
         sources go through the one-ahead prefetcher."""
-        from ..data.prefetch import _HOST_KEYS_SKIP
+        from ..data.prefetch import split_host_device
 
         if isinstance(source, DeviceCache):
             for idx, batch in BatchLoader(source, order):
-                host = {k: v for k, v in batch.items() if k in _HOST_KEYS_SKIP}
-                dev = {k: v for k, v in batch.items()
-                       if k not in _HOST_KEYS_SKIP}
+                dev, host = split_host_device(batch)
                 yield idx, dev, host
         else:
             yield from DevicePrefetcher(iter(BatchLoader(source, order)))

@@ -161,3 +161,99 @@ def test_dead_mask_warning(capsys):
     t2 = object.__new__(Trainer)
     t2._watch_dead_mask({"loss": 0.5, "flow_loss_1_2": 0.1})
     assert capsys.readouterr().out == ""
+
+
+def test_csv_logger_resume_after_empty_file(tmp_path):
+    """An empty CSV (crash before the first epoch) counts as fresh — the
+    resumed run must write a header."""
+    from dynamic_video_depth_tpu.runtime.loggers import CsvLogger, LogCumulator
+
+    p = str(tmp_path / "epoch_loss.csv")
+    open(p, "w").close()  # crashed run left an empty file
+    cum = LogCumulator()
+    log = CsvLogger(p, cum)
+    log.on_train_begin()
+    cum.on_epoch_begin(1)
+    cum.on_batch_end(0, {"loss": 1.0, "size": 1})
+    cum.on_epoch_end(1, {})
+    log.on_epoch_end(1)
+    log.on_train_end()
+    lines = open(p).read().strip().splitlines()
+    assert lines[0].startswith("epoch") or "loss" in lines[0]  # header
+    assert len(lines) == 2
+
+
+def test_batch_csv_durable_per_batch(tmp_path):
+    """Batch rows land on disk as they arrive (reference parity) — a NaN
+    abort mid-epoch must not discard the trace."""
+    from dynamic_video_depth_tpu.runtime.loggers import BatchCsvLogger
+
+    p = str(tmp_path / "batch_loss.csv")
+    log = BatchCsvLogger(p)
+    log.on_epoch_begin(1)
+    log.on_batch_end(0, {"loss": 1.0, "size": 1})
+    log.on_batch_end(1, {"loss": float("nan"), "size": 1})
+    # no on_epoch_end (aborted) — rows must already be on disk
+    lines = open(p).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+    log.on_train_end()
+
+
+def test_cumulator_partial_metric_weighting():
+    """A metric logged in only some batches weights by THOSE batches' sizes
+    (positional pairing would silently under-normalize)."""
+    from dynamic_video_depth_tpu.runtime.loggers import LogCumulator
+
+    cum = LogCumulator()
+    cum.on_epoch_begin(1)
+    cum.on_batch_end(0, {"loss": 1.0, "size": 2})
+    cum.on_batch_end(1, {"loss": 3.0, "rare": 10.0, "size": 2})
+    logs = cum.get_epoch_logs()
+    assert logs["loss"] == 2.0
+    assert logs["rare"] == 10.0  # mean over the one batch that logged it
+
+
+def test_html_logger_resumes_history(tmp_path):
+    from dynamic_video_depth_tpu.runtime.loggers import HtmlLogger, LogCumulator
+
+    cum = LogCumulator()
+    log = HtmlLogger(str(tmp_path), cum)
+    log.on_train_begin()
+    cum.on_epoch_begin(1)
+    cum.on_batch_end(0, {"loss": 1.0, "size": 1})
+    cum.on_epoch_end(1, {})
+    log.on_epoch_end(1)
+
+    # a fresh logger (resumed run) must keep epoch 1 in the dashboard
+    log2 = HtmlLogger(str(tmp_path), cum)
+    log2.on_train_begin()
+    cum.on_epoch_begin(2)
+    cum.on_batch_end(0, {"loss": 0.5, "size": 1})
+    cum.on_epoch_end(2, {})
+    log2.on_epoch_end(2)
+    import json as _json
+
+    hist = _json.load(open(tmp_path / "progress.json"))
+    assert [e["epoch"] for e in hist] == [1, 2]
+
+
+def test_batch_loader_early_exit_no_leak():
+    """Abandoning the iterator (NaN abort) must not leave the worker thread
+    parked forever in q.put."""
+    import threading
+    import time as _time
+
+    from dynamic_video_depth_tpu.data.prefetch import BatchLoader
+
+    class Slow:
+        def __getitem__(self, i):
+            return {"x": i}
+
+    before = threading.active_count()
+    it = iter(BatchLoader(Slow(), order=list(range(100)), queue_size=2))
+    next(it)
+    it.close()  # generator finally -> stop.set()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
