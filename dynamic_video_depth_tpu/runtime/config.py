@@ -18,6 +18,12 @@ def add_general_arguments(parser: argparse.ArgumentParser):
         "gpu", "resume", "epoch", "workers", "batch_size", "save_net",
         "epoch_batches", "logdir", "full_logdir", "vis_batches_vali",
         "vali_batches", "vali_at_start", "vis_every_vali",
+        # TPU-runtime execution knobs (not model-defining, numerics-
+        # neutral): a resumed run honors the freshly typed values, not the
+        # saved ones. Precision flags stay OUT of this set: they change
+        # numerics, so resume preserves the original run's choice.
+        "profile_dir", "steps_per_dispatch", "no_device_cache",
+        "remat_depth", "n_chips", "load_reference_ckpt", "test_template",
     }
     a = parser.add_argument
     a("--gpu", default="none", type=str,
@@ -34,7 +40,7 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--epoch", type=int, default=0, help="number of epochs to train")
     a("--force_overwrite", action="store_true")
     # Dataset IO
-    a("--dataset", type=str, default=None)
+    a("--dataset", type=str, required=True)
     a("--data_root", type=str, default=None,
       help="override the dataset's default datafiles root")
     a("--workers", type=int, default=4)

@@ -81,8 +81,11 @@ class HTMLVisualizer:
                 table = ImageTable(title=os.path.basename(outdir))
                 table.set_header(["batch"] + sorted(written))
                 self._tables[outdir] = table
+            # cells follow the TABLE's header, not this batch's key set — a
+            # batch that routes extra/missing keys must not shift columns
             table.add_row(
-                [f"{idx:04d}"] + [written.get(k, "") for k in sorted(written)]
+                [f"{idx:04d}"]
+                + [written.get(k, "") for k in table.header[1:]]
             )
             table.save(join(outdir, "index.html"))
         return sorted(written.values())

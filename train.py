@@ -29,9 +29,6 @@ def main():
     # convs run at the backend default, opt into bf16 activations via
     # --mixed_precision_training or force full f32 via --full_precision.
     import jax
-
-    if "--full_precision" in sys.argv:
-        jax.config.update("jax_default_matmul_precision", "highest")
     # The environment's sitecustomize force-selects the TPU platform; honor
     # an explicit override (e.g. DVD_PLATFORM=cpu for smoke runs).
     if os.environ.get("DVD_PLATFORM"):
@@ -91,6 +88,10 @@ def main():
     if opt.resume != 0 and os.path.isfile(join(opt.full_logdir, "opt.json")):
         opt = config_mod.overwrite(opt, load_opt(opt.full_logdir), unique_params)
     save_opt(opt.full_logdir, opt)
+    # set AFTER the resume-overwrite so a resumed run keeps the precision it
+    # was trained with even when the flag is not re-typed
+    if getattr(opt, "full_precision", False):
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     # ---------------------------------------------------------------- logger
     cumulator = LogCumulator()
@@ -230,7 +231,9 @@ def main():
             "python test.py", f'"{sys.executable}" "{join(here, "test.py")}"', 1
         )
         print("Running test command:", cmd)
-        os.system(cmd)
+        rc = os.system(cmd)
+        if rc != 0:
+            sys.exit(f"chained test command failed (rc={rc})")
 
 
 if __name__ == "__main__":
