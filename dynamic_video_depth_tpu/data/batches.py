@@ -103,6 +103,9 @@ def collate_batches(samples) -> Dict[str, np.ndarray]:
     for key, v0 in first.items():
         if key == "pair_path":
             out[key] = [s[key] for s in samples]
+        elif key == "warp_window":
+            # exactness bound for the fused warp: the batch needs the max
+            out[key] = max(int(s[key]) for s in samples)
         elif np.ndim(v0) == 0:
             out[key] = v0
         else:

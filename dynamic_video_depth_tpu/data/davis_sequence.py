@@ -88,6 +88,13 @@ class Dataset(BaseDataset):
             batch = pair_batch_from_packed(raw, self.n_frames, self.unit)
             # host-side Euler step count: avoids a device roundtrip per step
             batch["steps"] = max(int(round(self.gap_of(idx) / self.unit)), 1)
+            # minimal exact fused-warp window for THIS sample's observed
+            # flow — the trainer compares it against the configured window
+            # and falls back to the always-exact full-height warp when
+            # exceeded (no silent approximation at any resolution)
+            from ..ops.pallas.warp_kernel import required_window
+
+            batch["warp_window"] = required_window(batch["flow_1_2"])
         else:
             raw = dict(np.load(path, allow_pickle=True))
             batch = frame_batch_from_npz(raw, idx, self.n_frames, self.unit)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_HOST_KEYS_SKIP = ("pair_path", "steps")
+_HOST_KEYS_SKIP = ("pair_path", "steps", "warp_window")
 
 
 def split_host_device(batch: Dict):
@@ -152,12 +152,20 @@ class FleetBatchCache:
         self.max_bytes = max_bytes_per_device
         self._caches: list = [{} for _ in datasets]
         self._bytes = [0.0] * len(datasets)
+        # latched max of the loaded samples' exact-warp window bound; the
+        # fleet driver reads it before each dispatch to pick the fused
+        # warp's full-height fallback (windowed and full warps agree
+        # exactly on conforming batches, so latching never changes results)
+        self.max_warp_window = 0
 
     def _video_batch(self, vi: int, idx) -> Dict:
         cache = self._caches[vi]
         if idx in cache:
             return cache[idx]
         batch = self.datasets[vi][idx]
+        if "warp_window" in batch:
+            self.max_warp_window = max(self.max_warp_window,
+                                       int(batch["warp_window"]))
         dev = {
             k: jax.device_put(np.asarray(v)[None], self.devices[vi])
             for k, v in batch.items()

@@ -55,6 +55,44 @@ def _pad_to(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def required_window(flow, rows: int = 8) -> int:
+    """Minimal window (multiple of 8) for which :func:`fused_backward_warp`
+    is EXACT for this flow, mirroring the kernel's clamping math. Host-side
+    numpy (runs at the data boundary, where the observed flow is loaded);
+    returns the padded full height when no smaller window is safe.
+
+    The kernel positions each output row block's source window at
+    ``off = floor8(clip(min(iy0), 0, h - win))`` and clamps source rows to
+    ``[off, off + win - 1]``; exactness requires every sampled row
+    ``iy0/iy1`` of the block to fall inside that span."""
+    import numpy as np
+
+    flow = np.asarray(flow)
+    if flow.ndim == 3:
+        flow = flow[None]
+    b, h, w, _ = flow.shape
+    rows = _pad_to(rows, 8)
+    hp = _pad_to(h, rows)
+    yy = np.arange(h, dtype=np.float32)[None, :, None]
+    y = np.clip(yy + flow[..., 1], 0.0, h - 1.0)
+    iy0 = np.floor(y).astype(np.int64)
+    iy1 = np.minimum(iy0 + 1, h - 1)
+    # zero-padded flow rows (h..hp) sample their clamped own row = h-1
+    pad_rows = hp - h
+    if pad_rows:
+        iy0 = np.concatenate(
+            [iy0, np.full((b, pad_rows, w), h - 1, np.int64)], axis=1)
+        iy1 = np.concatenate(
+            [iy1, np.full((b, pad_rows, w), h - 1, np.int64)], axis=1)
+    lo = iy0.reshape(b, hp // rows, rows * w).min(axis=2)  # [B, nblk]
+    hi = iy1.reshape(b, hp // rows, rows * w).max(axis=2)
+    for win in range(8, _pad_to(h, 8) + 1, 8):
+        off = (np.clip(lo, 0, max(h - win, 0)) // 8) * 8
+        if (hi - off <= win - 1).all():
+            return win
+    return _pad_to(h, 8)
+
+
 def _sample_coords(flow_ref, h, w, wp, rows):
     """Clamped bilinear corner indices/weights for the current output row
     block, in lane layout ``[1, N]`` (N = rows*wp). Mosaic supports the

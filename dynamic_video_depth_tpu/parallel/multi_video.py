@@ -82,10 +82,10 @@ class MultiVideoOptimizer:
     def broadcast_state(self, state: TrainState, n_videos: int) -> TrainState:
         return _broadcast_state(state, n_videos, self.state_sharding())
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
              donate_argnames=("states",))
     def train_step(self, states: TrainState, batches: Dict[str, jnp.ndarray],
-                   steps: int, warm: bool):
+                   steps: int, warm: bool, full_warp: bool = False):
         """One lockstep step for every video. Leaves are ``[V, ...]``; the
         same static (gap, warm) bucket applies fleet-wide (callers group
         files by gap, which the canonical per-gap ordering provides)."""
@@ -93,7 +93,7 @@ class MultiVideoOptimizer:
         def per_chip(states_slice, batches_slice):
             s = jax.tree.map(lambda x: x[0], states_slice)
             b = jax.tree.map(lambda x: x[0], batches_slice)
-            ns, logs = self.step.train_step_impl(s, b, steps, warm)
+            ns, logs = self.step.train_step_impl(s, b, steps, warm, full_warp)
             expand = lambda x: jnp.asarray(x)[None]
             return jax.tree.map(expand, ns), jax.tree.map(expand, logs)
 
@@ -116,11 +116,11 @@ class MultiVideoOptimizer:
                         out_specs=(spec, spec))
         return fn(states, batches)
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
              donate_argnames=("states",))
     def train_step_scan(self, states: TrainState,
                         batches: Dict[str, jnp.ndarray], steps: int,
-                        warm: bool):
+                        warm: bool, full_warp: bool = False):
         """K lockstep steps per video in ONE dispatch: batch leaves are
         ``[K, V, ...]`` (sharded ``P(None, 'video')``), the per-chip body
         scans its K same-gap batches (mirrors the single-video
@@ -132,7 +132,8 @@ class MultiVideoOptimizer:
             b = jax.tree.map(lambda x: x[:, 0], batches_slice)  # [K, ...]
 
             def body(ss, bb):
-                ns, logs = self.step.train_step_impl(ss, bb, steps, warm)
+                ns, logs = self.step.train_step_impl(ss, bb, steps, warm,
+                                                     full_warp)
                 return ns, logs["_packed"]
 
             s2, packed = jax.lax.scan(body, s, b)
@@ -219,10 +220,10 @@ class MultiVideoDataParallel:
                 "MultiVideoDataParallel needs jax.shard_map with axis_names"
             )
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
              donate_argnames=("states",))
     def train_step(self, states: TrainState, batches: Dict[str, jnp.ndarray],
-                   steps: int, warm: bool):
+                   steps: int, warm: bool, full_warp: bool = False):
         # in_specs may only name the MANUAL axis; the data-axis sharding is
         # carried by the arrays themselves (place()) and handled by XLA
         # propagation inside the per-video body
@@ -232,7 +233,7 @@ class MultiVideoDataParallel:
         def per_video(states_slice, batches_slice):
             s = jax.tree.map(lambda x: x[0], states_slice)
             b = jax.tree.map(lambda x: x[0], batches_slice)
-            ns, logs = self.step.train_step_impl(s, b, steps, warm)
+            ns, logs = self.step.train_step_impl(s, b, steps, warm, full_warp)
             expand = lambda x: jnp.asarray(x)[None]
             return jax.tree.map(expand, ns), jax.tree.map(expand, logs)
 
@@ -296,8 +297,8 @@ class DataParallelStep:
                 )
         return state, out
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
              donate_argnames=("state",))
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                   steps: int, warm: bool):
-        return self.step.train_step_impl(state, batch, steps, warm)
+                   steps: int, warm: bool, full_warp: bool = False):
+        return self.step.train_step_impl(state, batch, steps, warm, full_warp)

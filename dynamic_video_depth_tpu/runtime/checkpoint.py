@@ -104,11 +104,23 @@ class AsyncSaver:
     def flush(self):
         self._q.join()
 
-    def _drain_at_exit(self):
+    def _drain_at_exit(self, deadline_s: float = 120.0):
+        """Bounded drain: a save hung on broken storage must not wedge
+        interpreter exit forever — wait up to ``deadline_s``, then report
+        what is still pending and give up."""
+        import time
+
         try:
+            if not self._q.unfinished_tasks:
+                return
+            print("Draining in-flight checkpoint saves...")
+            t0 = time.time()
+            while self._q.unfinished_tasks and time.time() - t0 < deadline_s:
+                time.sleep(0.1)
             if self._q.unfinished_tasks:
-                print("Draining in-flight checkpoint saves...")
-                self._q.join()
+                print(f"Warning: {self._q.unfinished_tasks} checkpoint "
+                      f"save(s) still pending after {deadline_s:.0f}s; "
+                      "giving up (the checkpoint on disk may be stale)")
         except Exception:
             pass
 

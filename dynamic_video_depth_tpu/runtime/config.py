@@ -17,7 +17,7 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     unique_params = {
         "gpu", "resume", "epoch", "workers", "batch_size", "save_net",
         "epoch_batches", "logdir", "full_logdir", "vis_batches_vali",
-        "vali_batches", "vali_at_start", "vis_every_vali",
+        "vali_batches", "vali_at_start", "vis_every_vali", "pt_no_overwrite",
         # TPU-runtime execution knobs (not model-defining, numerics-
         # neutral): a resumed run honors the freshly typed values, not the
         # saved ones. Precision flags stay OUT of this set: they change
@@ -119,6 +119,42 @@ def add_general_arguments(parser: argparse.ArgumentParser):
       help="run K optimization steps per jitted dispatch (lax.scan over "
            "stacked same-gap batches); amortizes host dispatch latency")
     return parser, unique_params
+
+
+def exprdir_name(opt) -> str:
+    """Experiment directory name (reference: train.py:40-46). With
+    --exprdir_no_prefix only the formatted suffix names the run; otherwise
+    the net/dataset prefix is prepended."""
+    suffix = opt.suffix.format(**vars(opt)) if opt.suffix else ""
+    if getattr(opt, "exprdir_no_prefix", False):
+        return suffix
+    exprdir = f"{opt.net}_{opt.dataset}"
+    if suffix:
+        exprdir += "_" + suffix
+    return exprdir
+
+
+def tensorboard_logdir(opt, exprdir: str) -> str:
+    """TensorBoard directory (reference: train.py:195-202): split the run's
+    logdir on ``/{keyword}/`` and park the event files under
+    ``parent/{keyword}/tensorboard/sub`` so every run's boards collect in
+    one place; ``--tensorboard_keyword none`` uses
+    ``logdir/tensorboard/exprdir/expr_id``. The reference crashes when the
+    keyword is absent from the path; we fall back to an in-rundir
+    ``tensorboard/`` with a warning instead."""
+    import os
+
+    kw = getattr(opt, "tensorboard_keyword", "checkpoints")
+    full_logdir = opt.full_logdir
+    if kw != "none":
+        parts = full_logdir.split(f"/{kw}/")
+        if len(parts) == 2:
+            return os.path.join(parts[0], kw, "tensorboard", parts[1])
+        print(f"Warning: --tensorboard_keyword '{kw}' not found in logdir "
+              f"{full_logdir}; writing tensorboard inside the run dir")
+        return os.path.join(full_logdir, "tensorboard")
+    return os.path.join(opt.logdir or ".", "tensorboard", exprdir,
+                        str(opt.expr_id))
 
 
 def overwrite(opt, opt_old: dict, unique_params):

@@ -120,10 +120,14 @@ class LogCumulator(BaseLogger):
 class ProgbarLogger(BaseLogger):
     """Terminal progress bar with ETA (reference: loggers/Progbar.py:21-143)."""
 
-    def __init__(self, interval: float = 0.05, metrics: Optional[List[str]] = None):
+    def __init__(self, interval: float = 0.05, metrics: Optional[List[str]] = None,
+                 no_accum: bool = False):
         super().__init__()
         self.interval = interval
         self.metrics = metrics
+        # --no_accum: display the CURRENT batch's value instead of the
+        # running epoch mean (reference: loggers/Progbar.py:105-108)
+        self.no_accum = no_accum
         self._last = 0.0
 
     def on_epoch_begin(self, epoch):
@@ -132,6 +136,7 @@ class ProgbarLogger(BaseLogger):
         self.start = time.time()
         self._sums: Dict[str, float] = {}
         self._counts: Dict[str, int] = {}
+        self._step_values: Dict[str, float] = {}
         print(f"Epoch {epoch}/{self.params.get('epochs', '?')}")
 
     def on_batch_end(self, batch, logs=None):
@@ -145,6 +150,8 @@ class ProgbarLogger(BaseLogger):
                 continue
             self._sums[k] = self._sums.get(k, 0.0) + _scalar(v) * size
             self._counts[k] = self._counts.get(k, 0) + size
+            if self.no_accum:
+                self._step_values[k] = _scalar(v)
         now = time.time()
         if now - self._last < self.interval:
             return
@@ -164,10 +171,16 @@ class ProgbarLogger(BaseLogger):
             head = f"\r{self.seen}/{target} [{bar}] ETA {eta:5.0f}s"
         else:
             head = f"\r{self.seen} [{elapsed:5.0f}s]"
-        stats = " - ".join(
-            f"{k}: {self._sums[k] / max(self._counts[k], 1):.4g}"
-            for k in sorted(self._sums)
-        )
+        if self.no_accum:
+            stats = " - ".join(
+                f"{k}: {self._step_values[k]:.4g}"
+                for k in sorted(self._step_values)
+            )
+        else:
+            stats = " - ".join(
+                f"{k}: {self._sums[k] / max(self._counts[k], 1):.4g}"
+                for k in sorted(self._sums)
+            )
         end = "\n" if final else ""
         print(head + " " + stats + " " * 8, end=end, flush=True)
 
@@ -207,13 +220,27 @@ class CsvLogger(BaseLogger):
         if self._writer is None:
             self._keys = sorted(logs.keys())
             if self._append and self._resume_keys:
-                # keep the existing column order across resumes; absent
-                # metrics leave blank cells instead of misaligned rows
                 if set(self._keys) != set(self._resume_keys):
-                    print(f"Warning: resumed CSV {self.filepath} has columns "
-                          f"{self._resume_keys}; this run logs "
-                          f"{self._keys} — keeping the file's order")
-                self._keys = self._resume_keys
+                    # metric set changed across the resume: rewrite the file
+                    # with the merged header (old columns first, new ones
+                    # appended) so neither old rows nor new metrics are lost
+                    merged = list(self._resume_keys) + sorted(
+                        set(self._keys) - set(self._resume_keys)
+                    )
+                    print(f"Warning: resumed CSV {self.filepath} columns "
+                          f"changed; rewriting with merged header {merged}")
+                    self._file.close()
+                    with open(self.filepath, newline="") as f:
+                        old_rows = list(csv.DictReader(f))
+                    with open(self.filepath, "w", newline="") as f:
+                        w = csv.DictWriter(f, fieldnames=merged,
+                                           extrasaction="ignore")
+                        w.writeheader()
+                        w.writerows(old_rows)
+                    self._file = open(self.filepath, "a", newline="")
+                    self._keys = merged
+                else:
+                    self._keys = self._resume_keys
             self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
                                           extrasaction="ignore")
             if not self._append:

@@ -19,6 +19,14 @@ from ..data.prefetch import BatchLoader, DeviceCache, DevicePrefetcher
 from ..runtime.loggers import ComposeLogger, LogCumulator
 
 
+def vis_index(batch_idx: int, n_steps: int, vis_at_start: bool) -> int:
+    """Visualization gate index (reference: models/scene_flow_motion_field.py
+    :216, models/video_base.py:52): by default the LAST ``vis_batches``
+    batches of an epoch are visualized (index counts down from the end);
+    --vis_at_start counts up from the first batch instead."""
+    return batch_idx if vis_at_start else n_steps - batch_idx
+
+
 def group_by_gap(gap_of, n: int):
     """Sample indices bucketed by frame gap (every lockstep/scan dispatch
     needs one static gap). Shared by the single-video chunk/group builders
@@ -60,6 +68,8 @@ class _ChunkedDataset:
         for k, v0 in samples[0].items():
             if k == "pair_path":
                 out[k] = [s[k] for s in samples]
+            elif k == "warp_window":
+                out[k] = max(int(s[k]) for s in samples)
             elif k == "steps" or np.ndim(v0) == 0:
                 out[k] = np.stack([np.asarray(s[k]) for s in samples]) \
                     if k == "time_step" else v0
@@ -98,6 +108,10 @@ class Trainer:
         self.steps_per_dispatch = max(
             getattr(opt, "steps_per_dispatch", 1) or 1, 1
         )
+        # --log_time adds per-batch wall timings to the logged metric set
+        # (reference: options/options_train.py:56; its loop stamps
+        # data_time/batch_time into every batch_log, netinterface.py:301-302)
+        self.log_time = bool(getattr(opt, "log_time", False))
         if self.steps_per_dispatch > 1:
             chunks = self._fixed_chunks(self._train_source,
                                         self.steps_per_dispatch)
@@ -197,21 +211,28 @@ class Trainer:
         pending = None
         for i, (idx, dev, host) in enumerate(self._iter_batches(source, order)):
             data_time = time.time() - t_data
-            logs = self.model.train_on_batch(epoch, i, dev, warm=warm,
-                                             steps=host.get("steps"))
+            t_step = time.time()
+            logs = self.model.train_on_batch(
+                epoch, i, dev, warm=warm, steps=host.get("steps"),
+                warp_window=host.get("warp_window"))
             packed = logs.pop("_packed", None)
             if packed is not None:
                 try:
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
+                # batch_time = host dispatch wall time (the device result is
+                # fetched async one step behind, so this measures the step
+                # loop's real cost, not a forced sync)
                 entry = (i, packed, sorted(k for k in logs if k != "size"),
-                         logs["size"], data_time)
+                         logs["size"], data_time, time.time() - t_step)
                 if pending is not None:
                     self._flush_logs(pending)
                 pending = entry
             else:
                 logs["data_time"] = data_time
+                if self.log_time:
+                    logs["batch_time"] = time.time() - t_step
                 self.logger.on_batch_end(i, logs)
             if self.visualize_fn is not None:
                 self.visualize_fn("train", epoch, i, dev, host)
@@ -234,8 +255,10 @@ class Trainer:
             self._iter_batches(source, order)
         ):
             data_time = time.time() - t_data
+            t_step = time.time()
             packed = self.model.train_on_chunk(
-                epoch, dev, steps=host.get("steps", 1), warm=warm
+                epoch, dev, steps=host.get("steps", 1), warm=warm,
+                warp_window=host.get("warp_window"),
             )
             try:
                 packed.copy_to_host_async()
@@ -243,7 +266,8 @@ class Trainer:
                 pass
             keys = sorted(self.model.metrics_packed)
             size = int(dev["img_1"].shape[1])
-            entry = (step_idx, packed, keys, size, data_time, k)
+            entry = (step_idx, packed, keys, size, data_time, k,
+                     time.time() - t_step)
             if pending is not None:
                 self._flush_chunk_logs(pending)
             pending = entry
@@ -253,21 +277,25 @@ class Trainer:
             self._flush_chunk_logs(pending)
 
     def _flush_chunk_logs(self, entry):
-        start, packed, keys, size, data_time, k = entry
+        start, packed, keys, size, data_time, k, batch_time = entry
         vals = np.asarray(packed)  # [K, n_metrics]
         for j in range(vals.shape[0]):
             logs = dict(zip(keys, vals[j]))
             logs["size"] = size
             logs["data_time"] = data_time if j == 0 else 0.0
+            if self.log_time:
+                logs["batch_time"] = batch_time / max(vals.shape[0], 1)
             self._watch_dead_mask(logs)
             self.logger.on_batch_end(start + j, logs)
 
     def _flush_logs(self, entry):
-        i, packed, keys, size, data_time = entry
+        i, packed, keys, size, data_time, batch_time = entry
         vals = np.asarray(packed)
         logs = dict(zip(keys, vals))
         logs["size"] = size
         logs["data_time"] = data_time
+        if self.log_time:
+            logs["batch_time"] = batch_time
         self._watch_dead_mask(logs)
         self.logger.on_batch_end(i, logs)
 

@@ -197,32 +197,52 @@ class Model:
         dt = float(np.asarray(batch["time_step"]))
         return max(int(round(abs(ts2 - ts1) / dt)), 1)
 
+    def _full_warp(self, warp_window: Optional[int]) -> bool:
+        """True when this batch's observed flow needs a larger fused-warp
+        window than configured: switch to the always-exact full-height
+        specialization instead of silently clamping (the window bound is
+        computed per sample at the data boundary, data/davis_sequence.py)."""
+        win = self.cfg.pallas_warp_window
+        if win is None or warp_window is None:
+            return False
+        # callers may hand a stacked [K]/[B] vector of per-sample bounds
+        return int(np.max(np.asarray(warp_window))) > int(win)
+
     def train_on_batch(self, epoch: int, batch_idx: int, batch: Dict,
                        warm: Optional[bool] = None,
-                       steps: Optional[int] = None) -> Dict:
+                       steps: Optional[int] = None,
+                       warp_window: Optional[int] = None) -> Dict:
         if warm is None:
             warm = epoch <= getattr(self.opt, "warm_sf", 0)
         if steps is None:
             steps = batch.pop("steps", None)
         if steps is None:
             steps = self.batch_steps(batch)
-        batch = {k: v for k, v in batch.items() if k != "steps"}
+        if warp_window is None:
+            warp_window = batch.get("warp_window")
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("steps", "warp_window")}
         self.state, logs = self.step.train_step(
-            self.state, batch, steps=int(steps), warm=bool(warm)
+            self.state, batch, steps=int(steps), warm=bool(warm),
+            full_warp=self._full_warp(warp_window),
         )
         logs["size"] = int(batch["img_1"].shape[0])
         return logs
 
     def train_on_chunk(self, epoch: int, batches: Dict, steps: int,
-                       warm: Optional[bool] = None):
+                       warm: Optional[bool] = None,
+                       warp_window: Optional[int] = None):
         """K lockstep optimization steps in one dispatch (leaves [K, B, ...]).
         Returns packed per-step metrics [K, n] (fetch asynchronously)."""
         if warm is None:
             warm = epoch <= getattr(self.opt, "warm_sf", 0)
+        if warp_window is None:
+            warp_window = batches.get("warp_window")
         batches = {k: v for k, v in batches.items()
-                   if k not in ("steps", "pair_path")}
+                   if k not in ("steps", "pair_path", "warp_window")}
         self.state, packed = self.step.train_step_scan(
-            self.state, batches, steps=int(steps), warm=bool(warm)
+            self.state, batches, steps=int(steps), warm=bool(warm),
+            full_warp=self._full_warp(warp_window),
         )
         return packed
 

@@ -93,6 +93,32 @@ class TrainStepConfig:
     pallas_warp_window: Optional[int] = 64
 
 
+def _trace_with_dampening(decay: float, dampening: float):
+    """Momentum trace with torch SGD dampening semantics
+    (reference passes --sgd_dampening through to torch.optim.SGD,
+    models/netinterface.py:132): the buffer seeds with the RAW first
+    gradient, then follows ``buf = decay*buf + (1-dampening)*g``.
+    optax.trace has no dampening knob, hence this transform."""
+
+    def init_fn(params):
+        return {
+            "trace": jax.tree.map(jnp.zeros_like, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        first = state["count"] == 0
+        new_trace = jax.tree.map(
+            lambda g, t: jnp.where(first, g,
+                                   decay * t + (1.0 - dampening) * g),
+            updates, state["trace"],
+        )
+        return new_trace, {"trace": new_trace, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class TrainState(struct.PyTreeNode):
     params_depth: Any
     params_sf: Any
@@ -152,9 +178,13 @@ class SceneFlowMotionFieldStep:
                 if cfg.wdecay > 0:
                     chain.append(optax.add_decayed_weights(cfg.wdecay))
                 if cfg.sgd_momentum > 0:
-                    chain.append(optax.trace(decay=cfg.sgd_momentum,
-                                             nesterov=False,
-                                             accumulator_dtype=None))
+                    if cfg.sgd_dampening != 0.0:
+                        chain.append(_trace_with_dampening(
+                            cfg.sgd_momentum, cfg.sgd_dampening))
+                    else:
+                        chain.append(optax.trace(decay=cfg.sgd_momentum,
+                                                 nesterov=False,
+                                                 accumulator_dtype=None))
                 chain.append(optax.scale(-lr))
                 return optax.chain(*chain)
             raise NotImplementedError(f"optimizer {cfg.optim}")
@@ -269,11 +299,17 @@ class SceneFlowMotionFieldStep:
 
     # ------------------------------------------------------------ train step
 
-    def _warp_fn(self):
+    def _warp_fn(self, full_warp: bool = False):
         """Backward-warp implementation: the fused Pallas kernel on TPU
         (ops/pallas/warp_kernel.py — gather-free tent-matmul warp with a
         custom src-only VJP), XLA grid-sample elsewhere. The flow is data
-        (never differentiated), which the Pallas VJP contract requires."""
+        (never differentiated), which the Pallas VJP contract requires.
+
+        ``full_warp`` switches this step specialization to the full-height
+        window — always exact — for batches whose observed flow violates the
+        configured window's exactness bound (the data layer computes each
+        sample's ``required_window``; the trainer compares and sets the
+        static flag, so no configuration silently approximates)."""
         mode = self.cfg.use_pallas_warp
         on = (jax.default_backend() not in ("cpu",)) if mode == "auto" \
             else mode in ("1", "true", "on", "yes")
@@ -281,14 +317,15 @@ class SceneFlowMotionFieldStep:
             return None  # depth_warp_stage defaults to the XLA path
         from ..ops.pallas import fused_backward_warp
 
-        win = self.cfg.pallas_warp_window
+        win = None if full_warp else self.cfg.pallas_warp_window
 
         def warp(buf, flow):
             return fused_backward_warp(buf, jax.lax.stop_gradient(flow), win)
 
         return warp
 
-    def _forward(self, params_depth, params_sf, stats_depth, batch, steps: int):
+    def _forward(self, params_depth, params_sf, stats_depth, batch,
+                 steps: int, full_warp: bool = False):
         """(reference: _predict_on_batch, models/scene_flow_motion_field.py:
         229-264). The reference's flow_by_depth + scene_flow_projection pair
         is merged: shared unprojections computed once and ONE fused
@@ -304,7 +341,7 @@ class SceneFlowMotionFieldStep:
 
         stage = depth_warp_stage(
             depth_1, depth_2, batch["flow_1_2"], cam_1, cam_2,
-            warp_fn=self._warp_fn(),
+            warp_fn=self._warp_fn(full_warp),
         )
         global_p1 = stage["global_p1"]
 
@@ -338,7 +375,8 @@ class SceneFlowMotionFieldStep:
         return mode in ("1", "true", "on", "yes")
 
     def _fused_loss_forward(self, params_depth, params_sf, stats_depth,
-                            batch, steps: int, warm: bool):
+                            batch, steps: int, warm: bool,
+                            full_warp: bool = False):
         """Lean training-loss forward where everything between the depth CNN
         and the scalar losses runs as Pallas kernels: fused 3-channel warp
         (the vis-only warped depth is skipped), fused scene-flow MLP, and
@@ -359,7 +397,7 @@ class SceneFlowMotionFieldStep:
 
         flow = jax.lax.stop_gradient(batch["flow_1_2"])
         p2_cam2 = unproject_camera(depth_2, cam_2)
-        warp_fn = self._warp_fn()
+        warp_fn = self._warp_fn(full_warp)
         warped3 = (warp_fn or backward_warp)(p2_cam2, flow)
 
         global_p1 = camera_to_world(unproject_camera(depth_1, cam_1), cam_1)
@@ -390,16 +428,17 @@ class SceneFlowMotionFieldStep:
         return main, logs, global_p1, first_sf
 
     def loss_and_logs(self, params_depth, params_sf, stats_depth, batch,
-                      steps: int, warm: bool):
+                      steps: int, warm: bool, full_warp: bool = False):
         cfg = self.cfg.loss
         if self._loss_use_pallas():
             main, logs, global_p1, first_sf = self._fused_loss_forward(
-                params_depth, params_sf, stats_depth, batch, steps, warm
+                params_depth, params_sf, stats_depth, batch, steps, warm,
+                full_warp,
             )
             pred = {"global_p1": global_p1}
         else:
             pred = self._forward(params_depth, params_sf, stats_depth,
-                                 batch, steps)
+                                 batch, steps, full_warp)
             first_sf = pred.pop("_first_sf", None)
             main, logs = consistency_losses(
                 pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
@@ -420,14 +459,17 @@ class SceneFlowMotionFieldStep:
             logs["acc_reg"] = jnp.zeros(())
         return total, logs
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"), donate_argnames=("state",))
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
+             donate_argnames=("state",))
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                   steps: int, warm: bool) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        """One fused optimization step. ``steps``/``warm`` are static."""
-        return self.train_step_impl(state, batch, steps, warm)
+                   steps: int, warm: bool, full_warp: bool = False
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One fused optimization step. ``steps``/``warm``/``full_warp``
+        are static."""
+        return self.train_step_impl(state, batch, steps, warm, full_warp)
 
     def train_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                        steps: int, warm: bool):
+                        steps: int, warm: bool, full_warp: bool = False):
         """Un-jitted step body — reused by the multi-video vmap/shard path
         (parallel/multi_video.py)."""
 
@@ -438,7 +480,8 @@ class SceneFlowMotionFieldStep:
                 # lets XLA prune the entire depth backward.
                 params_depth = jax.lax.stop_gradient(params_depth)
             return self.loss_and_logs(
-                params_depth, params_sf, state.stats_depth, batch, steps, warm
+                params_depth, params_sf, state.stats_depth, batch, steps,
+                warm, full_warp,
             )
 
         (_, logs), (g_depth, g_sf) = jax.value_and_grad(
@@ -470,30 +513,30 @@ class SceneFlowMotionFieldStep:
 
     # ------------------------------------------------------- vali/test steps
 
-    @partial(jax.jit, static_argnames=("self", "steps", "warm"),
+    @partial(jax.jit, static_argnames=("self", "steps", "warm", "full_warp"),
              donate_argnames=("state",))
     def train_step_scan(self, state: TrainState,
                         batches: Dict[str, jnp.ndarray], steps: int,
-                        warm: bool):
+                        warm: bool, full_warp: bool = False):
         """K optimization steps in ONE dispatch via lax.scan over stacked
         same-gap batches (leaves ``[K, B, ...]``). Amortizes per-call
         dispatch latency — decisive on remote-attached devices, harmless
         locally. Returns (state, packed_logs [K, n_metrics])."""
 
         def body(s, b):
-            s2, logs = self.train_step_impl(s, b, steps, warm)
+            s2, logs = self.train_step_impl(s, b, steps, warm, full_warp)
             return s2, logs["_packed"]
 
         return jax.lax.scan(body, state, batches)
 
-    @partial(jax.jit, static_argnames=("self", "steps"))
+    @partial(jax.jit, static_argnames=("self", "steps", "full_warp"))
     def forward_vis(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                    steps: int):
+                    steps: int, full_warp: bool = False):
         """Prediction dict for visualization dumps (reference packs pred to
         host every batch, models/scene_flow_motion_field.py:201-202; we only
         run this on visualized batches)."""
         pred = self._forward(state.params_depth, state.params_sf,
-                             state.stats_depth, batch, steps)
+                             state.stats_depth, batch, steps, full_warp)
         pred.pop("_first_sf", None)
         # per-pixel scene-flow residual map the reference packs for analysis
         # (reference: models/scene_flow_motion_field.py:306 sf_loss_pp)

@@ -21,7 +21,7 @@ python train.py \
     --vis_batches_vali 4 \
     --logdir './checkpoints/shutterstock/sequence/' \
     --suffix 'track_{track_id}_midas_{midas}' \
-    --test_template './experiments/davis/test_cmd.txt' \
+    --test_template './experiments/shutterstock/test_cmd.txt' \
     --force_overwrite \
     --scene_lr_mul 1000 \
     --warm_sf 5 \

@@ -52,3 +52,26 @@ def test_sgd_momentum_matches_torch(rng):
     ours = run_optax(step.tx_depth, param, grads)
     theirs = run_torch(torch.optim.SGD, param, grads, lr=1e-2, momentum=0.9)
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7)
+
+
+def test_sgd_dampening_and_wdecay_match_torch(rng):
+    """--sgd_dampening / --wdecay reach torch.optim.SGD in the reference
+    (models/netinterface.py:128-135); the dampened momentum buffer must
+    match step-for-step, including the undampened first step."""
+    from dynamic_video_depth_tpu.train.step import (
+        SceneFlowMotionFieldStep,
+        TrainStepConfig,
+    )
+
+    for damp, wd in [(0.3, 0.0), (0.5, 0.01), (0.9, 0.1)]:
+        step = SceneFlowMotionFieldStep(
+            TrainStepConfig(optim="sgd", lr=1e-2, sgd_momentum=0.9,
+                            sgd_dampening=damp, wdecay=wd, depth_net="tiny")
+        )
+        param = rng.randn(4, 2).astype(np.float32)
+        grads = [rng.randn(4, 2).astype(np.float32) * 0.1 for _ in range(6)]
+        ours = run_optax(step.tx_depth, param, grads)
+        theirs = run_torch(torch.optim.SGD, param, grads, lr=1e-2,
+                           momentum=0.9, dampening=damp, weight_decay=wd)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"dampening={damp} wdecay={wd}")

@@ -112,7 +112,8 @@ VARIANTS = [
 
 @pytest.mark.parametrize("variant", VARIANTS)
 def test_forward_matches_xla(rng, variant):
-    warm = variant.pop("warm") if "warm" in variant else False
+    variant = dict(variant)  # never mutate the shared parametrize dicts
+    warm = variant.pop("warm", False)
     cfg = LossConfig(flow_mul=1.0, disp_mul=1.0, **variant)
     args = make_inputs(rng)
     _, logs_ref = xla_losses(*args, cfg, warm)
@@ -122,7 +123,6 @@ def test_forward_matches_xla(rng, variant):
             np.asarray(logs_ker[k]), np.asarray(logs_ref[k]),
             rtol=2e-5, atol=1e-6, err_msg=k,
         )
-    variant["warm"] = warm  # restore for parametrize id stability
 
 
 @pytest.mark.parametrize("variant", VARIANTS)

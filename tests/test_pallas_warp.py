@@ -102,6 +102,87 @@ def test_windowed_gradient_matches_windowed_forward(rng):
         np.testing.assert_allclose(g[probe], fd, rtol=2e-2, atol=1e-3)
 
 
+def test_required_window_is_tight_and_exact(rng):
+    """required_window computes the minimal exact window for a violating
+    flow: the kernel at that window matches the XLA path exactly, while a
+    smaller window does not (VERDICT r2 item 4: no silent approximation)."""
+    from dynamic_video_depth_tpu.ops.pallas.warp_kernel import required_window
+
+    h, w = 64, 24
+    src = jnp.asarray(rng.randn(1, h, w, 2).astype(np.float32))
+    # vertical flow varying +-30 px WITHIN single 8-row blocks: violates
+    # the 48-px-per-block bound of window 64 at this scale
+    fy = 30.0 * np.sin(np.arange(h * w).reshape(1, h, w) * 2.1)
+    flow_np = np.stack([rng.randn(1, h, w) * 0.5, fy], axis=-1)
+    flow = jnp.asarray(flow_np.astype(np.float32))
+
+    win = required_window(flow_np)
+    assert win % 8 == 0
+    ref = backward_warp(src, flow)
+    out = fused_backward_warp(src, flow, win, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    if win > 8:
+        bad = fused_backward_warp(src, flow, win - 8, 8)
+        assert not np.allclose(np.asarray(bad), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5), (
+            "window below the computed bound should clamp (else the bound "
+            "is not tight and the fallback never engages)")
+
+
+def test_required_window_small_flow_is_small(rng):
+    from dynamic_video_depth_tpu.ops.pallas.warp_kernel import required_window
+
+    flow = (rng.randn(1, 224, 384, 2) * 3.0).astype(np.float32)
+    # |dy| <= ~12 px: an 8-row block spans <= ~34 source rows; well under 64
+    flow[..., 1] = np.clip(flow[..., 1], -12, 12)
+    assert required_window(flow) <= 64
+
+
+def test_step_full_warp_fallback_decision():
+    """Model._full_warp engages exactly when the data-computed bound
+    exceeds the configured window."""
+    from types import SimpleNamespace
+
+    from dynamic_video_depth_tpu.train.scene_flow_motion_field import Model
+
+    opt = SimpleNamespace(
+        lr=1e-4, scene_lr_mul=1.0, midas=False, depth_net="tiny",
+        use_cnn=False, use_embedding=False, time_dependent=True,
+        n_freq_xyz=2, n_freq_t=1, n_down=1, flow_mul=1.0, disp_mul=1.0,
+        acc_mul=0.0, sf_mag_div=100.0, use_disp=True, use_disp_ratio=False,
+        weight_steps=False, warm_reg=False, interp_steps=0,
+        use_motion_seg=False,
+    )
+    m = Model(opt)
+    assert m.cfg.pallas_warp_window == 64
+    assert not m._full_warp(None)       # no data bound -> configured window
+    assert not m._full_warp(64)         # bound met -> windowed (exact)
+    assert m._full_warp(72)             # violated -> full-height fallback
+
+
+def test_dataset_emits_warp_window(tmp_path):
+    """The data boundary computes the per-sample exactness bound."""
+    from dynamic_video_depth_tpu.data.synthetic import make_track
+    from dynamic_video_depth_tpu.data import get_dataset
+    from types import SimpleNamespace
+
+    make_track(str(tmp_path / "datafiles" / "davis_processed"), track="dog",
+               n_frames=4, h=32, w=48, gaps=(1,))
+    opt = SimpleNamespace(track_id="dog", gaps="1", repeat=1, overfit=False,
+                          data_root=str(tmp_path / "datafiles" /
+                                        "davis_processed"), subsample=False,
+                          cache_batches=False)
+    ds = get_dataset("davis_sequence")(opt, mode="train")
+    s = ds[0]
+    assert s["warp_window"] % 8 == 0 and 8 <= s["warp_window"] <= 32
+    # host/device split keeps it off-device
+    from dynamic_video_depth_tpu.data.prefetch import split_host_device
+
+    dev, host = split_host_device(s)
+    assert "warp_window" in host and "warp_window" not in dev
+
+
 def test_flow_cotangent_is_zero(rng):
     """Documented contract: the kernel does not produce coordinate
     gradients (flow is observed data in this model)."""

@@ -108,7 +108,7 @@ def test_fleet_batch_cache_matches_host_stack(tracks):
 
     ref = tree_stack([
         {k: jnp.asarray(v) for k, v in ds[0].items()
-         if k not in ("pair_path", "steps")}
+         if k not in ("pair_path", "steps", "warp_window")}
         for ds in datasets
     ])
     assert set(stacked) == set(ref)
@@ -322,7 +322,7 @@ def test_fleet_scan_matches_sequential_steps(tracks):
         step.init_state(jax.random.PRNGKey(0),
                         np.asarray(datasets[0][0]["img_1"])),
         {k: jnp.asarray(v) for k, v in datasets[0][0].items()
-         if k not in ("pair_path", "steps")}, steps=1, warm=False)
+         if k not in ("pair_path", "steps", "warp_window")}, steps=1, warm=False)
     keys = sorted(k for k in logs_probe if k != "_packed")
     li = keys.index("loss")
     for ki in range(3):

@@ -58,6 +58,45 @@ def test_raft_full_network_parity(rng):
     )
 
 
+def test_raft_golden_harness_end_to_end(tmp_path, rng):
+    """scripts/raft_golden_check.py — the one-command parity check for the
+    real raft-sintel.pth (VERDICT r2 item 5) — proven green end to end on a
+    checkpoint in the official nn.DataParallel layout: checksum recording,
+    flax-vs-replica EPE, --freeze, golden recheck, and the
+    different-artifact refusal."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "raft_golden_check",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "raft_golden_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(3)
+    tnet = TorchRAFT().eval()
+    dp_sd = {"module." + k: v for k, v in tnet.state_dict().items()}
+    ckpt = str(tmp_path / "raft-sintel.pth")
+    torch.save(dp_sd, ckpt)
+    golden = str(tmp_path / "golden.npz")
+
+    # small res/iters: the protocol scales down for CI, the command line
+    # defaults to the official 288x512/20
+    kw = dict(res=(64, 96), iters=3, tol=0.05)
+    assert mod.run(ckpt, golden, freeze=True, **kw) == 0
+    assert os.path.isfile(golden)
+    assert mod.run(ckpt, golden, freeze=False, **kw) == 0
+
+    # a different artifact must be refused (checksum pin)
+    torch.manual_seed(4)
+    other = str(tmp_path / "other.pth")
+    torch.save({"module." + k: v for k, v in
+                TorchRAFT().state_dict().items()}, other)
+    assert mod.run(other, golden, freeze=False, **kw) == 2
+
+
 def test_official_ckpt_format_loads_through_flow_fn(tmp_path, rng, monkeypatch):
     """The official raft-sintel.pth is saved from nn.DataParallel — every
     key carries a 'module.' prefix (reference: generate_flows.py:96-98).

@@ -74,11 +74,8 @@ def main():
         set_manual_seed(opt.manual_seed)
 
     # ---------------------------------------------------------------- logdir
+    exprdir = config_mod.exprdir_name(opt)
     if opt.full_logdir is None:
-        exprdir = f"{opt.net}_{opt.dataset}"
-        suffix = opt.suffix.format(**vars(opt)) if opt.suffix else ""
-        if suffix:
-            exprdir += "_" + suffix
         base = opt.logdir or "./checkpoints"
         opt.full_logdir = join(base, exprdir, str(opt.expr_id))
     os.makedirs(opt.full_logdir, exist_ok=True)
@@ -87,7 +84,12 @@ def main():
     resume_path = resolve_resume(opt.full_logdir, opt.resume)
     if opt.resume != 0 and os.path.isfile(join(opt.full_logdir, "opt.json")):
         opt = config_mod.overwrite(opt, load_opt(opt.full_logdir), unique_params)
-    save_opt(opt.full_logdir, opt)
+    if opt.pt_no_overwrite and os.path.isfile(join(opt.full_logdir, "opt.json")):
+        # on-the-fly eval: keep the original run's saved options intact
+        # (reference: train.py:89-96)
+        print("Warning: --pt_no_overwrite set, keeping existing opt.json")
+    else:
+        save_opt(opt.full_logdir, opt)
     # set AFTER the resume-overwrite so a resumed run keeps the precision it
     # was trained with even when the flag is not re-typed
     if getattr(opt, "full_precision", False):
@@ -97,7 +99,7 @@ def main():
     cumulator = LogCumulator()
     loggers = [
         cumulator,
-        ProgbarLogger(interval=opt.progbar_interval),
+        ProgbarLogger(interval=opt.progbar_interval, no_accum=opt.no_accum),
         CsvLogger(join(opt.full_logdir, "epoch_loss.csv"), cumulator),
         TerminateOnNaN(),
     ]
@@ -105,7 +107,9 @@ def main():
         loggers.append(BatchCsvLogger(join(opt.full_logdir, "batch_loss.csv")))
     if opt.tensorboard:
         loggers.append(
-            TensorBoardLogger(join(opt.full_logdir, "tensorboard"), cumulator)
+            TensorBoardLogger(
+                config_mod.tensorboard_logdir(opt, exprdir), cumulator
+            )
         )
     if opt.html_logger:
         loggers.append(HtmlLogger(join(opt.full_logdir, "html"), cumulator))
@@ -195,10 +199,19 @@ def main():
 
     visualizer = HTMLVisualizer(n_workers=opt.vis_workers)
 
+    from dynamic_video_depth_tpu.train.loop import vis_index
+
+    n_train_steps = opt.epoch_batches or None  # resolved per-call if unset
+
     def visualize_fn(phase, epoch, batch_idx, dev_batch, host_batch):
         every = opt.vis_every_train if phase == "train" else opt.vis_every_vali
         limit = opt.vis_batches_train if phase == "train" else opt.vis_batches_vali
-        if every <= 0 or epoch % every != 0 or batch_idx >= limit:
+        n_steps = n_train_steps if n_train_steps is not None \
+            else len(dataset_train)
+        # reference indexes from the END of the epoch unless --vis_at_start
+        # (models/scene_flow_motion_field.py:216, video_base.py:52)
+        idx = vis_index(batch_idx, n_steps, opt.vis_at_start)
+        if every <= 0 or epoch % every != 0 or idx > limit:
             return
         outdir = join(opt.full_logdir, "visualize",
                       f"epoch{epoch:04d}_{phase}")
@@ -209,7 +222,10 @@ def main():
             pred = {k: np.asarray(v) for k, v in
                     (model.last_pred or {}).items()}
         output = model.pack_output(pred, dev_batch)
-        visualizer.visualize(output, batch_idx + 1000 * epoch, outdir)
+        # reference keys the visualizer on the end-relative index but the
+        # npz dump on the absolute batch index (scene_flow_motion_field.py:
+        # 216-225)
+        visualizer.visualize(output, idx + 1000 * epoch, outdir)
         np.savez(join(outdir, "rank0000_batch%04d" % batch_idx), **output)
 
     # ------------------------------------------------------------------ train

@@ -86,9 +86,13 @@ def main():
     assert n_videos * dp <= n_dev, (
         f"{n_videos} videos x dp {dp} > {n_dev} devices"
     )
-    if dp > 1:
-        assert opt.batch_size % dp == 0 or opt.batch_size == 1, (
-            f"--batch_size {opt.batch_size} must be a multiple of --dp {dp}"
+    if dp > 1 and opt.batch_size % dp != 0:
+        # no silent bump: a different effective batch changes the
+        # optimization trajectory the user asked for
+        sys.exit(
+            f"--batch_size {opt.batch_size} must be a multiple of --dp {dp} "
+            f"(each video's pair batch shards over the data axis); "
+            f"pass e.g. --batch_size {dp}"
         )
 
     Model = get_model(opt.net)
@@ -199,11 +203,9 @@ def main():
     if dp == 1:
         train_cache = FleetBatchCache(datasets, mesh)
         vali_cache = FleetBatchCache(vali_sets, mesh)
-    bsz = opt.batch_size if opt.batch_size % dp == 0 else dp
-    if dp > 1 and bsz != opt.batch_size:
-        print(f"--dp {dp} with --batch_size {opt.batch_size}: training "
-              f"with {bsz} same-gap pairs per video per step (the data "
-              f"axis needs a divisible pair batch)")
+    bsz = opt.batch_size  # divisibility by dp enforced at startup
+
+    warp_holder = {"max": 0}  # latched fused-warp exactness bound (dp path)
 
     def host_stacked(ds_list, idx_lists):
         """[V][B] sample indices -> host-stacked fleet batch [V, B, ...]
@@ -211,6 +213,10 @@ def main():
         per_video, keys = [], None
         for vi, idxs in enumerate(idx_lists):
             samples = [ds_list[vi][i] for i in idxs]
+            for smp in samples:
+                if "warp_window" in smp:
+                    warp_holder["max"] = max(warp_holder["max"],
+                                             int(smp["warp_window"]))
             if keys is None:
                 keys = [k for k in samples[0] if k not in _HOST_KEYS_SKIP]
             pv = {}
@@ -261,7 +267,9 @@ def main():
                 ]
                 chunk = train_cache.stacked_chunk(idx_lists)
                 states, packed = fleet.train_step_scan(
-                    states, chunk, steps=euler_steps, warm=warm)
+                    states, chunk, steps=euler_steps, warm=warm,
+                    full_warp=base._full_warp(
+                        train_cache.max_warp_window or None))
                 if metric_keys is None:
                     metric_keys = sorted(base.metrics_packed)
                 # fetched ONE DISPATCH BEHIND like the k=1 path: a sync
@@ -283,12 +291,15 @@ def main():
                     ]
                     stacked = host_stacked(datasets, idx_lists)
                     states, stacked = fleet.place(states, stacked)
+                    fw = base._full_warp(warp_holder["max"] or None)
                 else:
                     idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
                             for vi in range(n_videos)]
                     stacked = train_cache.stacked(idxs)
+                    fw = base._full_warp(train_cache.max_warp_window or None)
                 states, logs = fleet.train_step(states, stacked,
-                                                steps=euler_steps, warm=warm)
+                                                steps=euler_steps, warm=warm,
+                                                full_warp=fw)
                 if metric_keys is None:
                     metric_keys = sorted(base.metrics_packed)
                 # metrics fetched ONE STEP BEHIND: a synchronous read here
