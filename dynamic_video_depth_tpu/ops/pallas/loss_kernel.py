@@ -78,9 +78,12 @@ def pack_camera(cam) -> jnp.ndarray:
 
 
 def _cam_scalars(cam_ref):
-    R = [[cam_ref[0, 3 * i + j] for j in range(3)] for i in range(3)]
-    t = [cam_ref[0, 9 + i] for i in range(3)]
-    K = [[cam_ref[0, 12 + 3 * i + j] for j in range(3)] for i in range(3)]
+    # whole [B, 24] array rides in SMEM (a [1, 24] block would violate the
+    # Mosaic block-shape rule for B > 1); the grid id picks this batch row
+    bi = pl.program_id(0)
+    R = [[cam_ref[bi, 3 * i + j] for j in range(3)] for i in range(3)]
+    t = [cam_ref[bi, 9 + i] for i in range(3)]
+    K = [[cam_ref[bi, 12 + 3 * i + j] for j in range(3)] for i in range(3)]
     return R, t, K
 
 
@@ -316,7 +319,7 @@ def _run_fwd(gp1, w3, sf, flow_gt, mask, depth_1, cam2,
                           use_disp_ratio, warm),
         grid=(b, nblk),
         in_specs=[spec(3), spec(3), spec(3), spec(4),
-                  pl.BlockSpec((1, 24), lambda bi, ri: (bi, 0),
+                  pl.BlockSpec((b, 24), lambda bi, ri: (0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -345,7 +348,7 @@ def _loss_bwd(use_disp, use_disp_ratio, midas, warm, res, g):
                                    memory_space=pltpu.VMEM)
     smem = lambda cols: pl.BlockSpec((1, cols), lambda bi, ri: (0, 0),
                                      memory_space=pltpu.SMEM)
-    cam_spec = pl.BlockSpec((1, 24), lambda bi, ri: (bi, 0),
+    cam_spec = pl.BlockSpec((b, 24), lambda bi, ri: (0, 0),
                             memory_space=pltpu.SMEM)
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, _ROWS, wp, midas, use_disp,
