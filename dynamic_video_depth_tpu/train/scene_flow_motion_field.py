@@ -71,6 +71,10 @@ class Model:
         a("--midas", action="store_true")
         a("--depth_net", type=str, default="",
           help="override depth net ('tiny' for smoke tests)")
+        a("--log_grad_stats", action="store_true",
+          help="log per-net gradient norms / max-abs each step (device "
+               "scalars on the packed async fetch; the functional analog "
+               "of the reference's grad-hook debug utilities)")
         return parser, set()
 
     metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
@@ -120,10 +124,18 @@ class Model:
             use_motion_seg=opt.use_motion_seg,
             compute_dtype=compute_dtype,
             remat_depth=getattr(opt, "remat_depth", False),
+            log_grad_stats=getattr(opt, "log_grad_stats", False),
         )
         self.step = SceneFlowMotionFieldStep(self.cfg)
         self.state = None
         self.last_pred = None
+        if self.cfg.log_grad_stats:
+            # instance copies: the packed metric key set must match what
+            # the step emits (the chunked/fleet flush paths read it)
+            extra = ["grad_max_depth", "grad_max_sf",
+                     "grad_norm_depth", "grad_norm_sf"]
+            self.metrics = list(self.metrics) + extra
+            self.metrics_packed = sorted(list(self.metrics_packed) + extra)
 
     # ------------------------------------------------------------------ setup
 

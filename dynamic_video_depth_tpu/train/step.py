@@ -91,6 +91,11 @@ class TrainStepConfig:
     # exact), 64 covers any flow that varies < 48 px vertically within an
     # 8-row block (far beyond DAVIS working-resolution flows)
     pallas_warp_window: Optional[int] = 64
+    # gradient observability: add global grad norms / max-abs per net to the
+    # step logs (device scalars, ride the packed async fetch — zero extra
+    # host syncs). The functional analog of the reference's grad-hook debug
+    # utilities (reference: models/netinterface.py:362-411).
+    log_grad_stats: bool = False
 
 
 def _trace_with_dampening(decay: float, dampening: float):
@@ -487,6 +492,16 @@ class SceneFlowMotionFieldStep:
         (_, logs), (g_depth, g_sf) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params_depth, state.params_sf)
+        if self.cfg.log_grad_stats:
+            max_abs = lambda t: jax.tree.reduce(
+                jnp.maximum,
+                jax.tree.map(lambda x: jnp.max(jnp.abs(x)), t),
+                jnp.zeros(()),
+            )
+            logs["grad_norm_depth"] = optax.global_norm(g_depth)
+            logs["grad_norm_sf"] = optax.global_norm(g_sf)
+            logs["grad_max_depth"] = max_abs(g_depth)
+            logs["grad_max_sf"] = max_abs(g_sf)
         # one packed vector so the host can fetch ALL step metrics in a
         # single (async) transfer instead of one roundtrip per scalar
         logs["_packed"] = jnp.stack([logs[k] for k in sorted(logs)])
@@ -510,6 +525,23 @@ class SceneFlowMotionFieldStep:
             step=state.step + 1,
         )
         return new_state, logs
+
+    @partial(jax.jit, static_argnames=("self", "steps", "warm"))
+    def grad_snapshot(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                      steps: int, warm: bool = False):
+        """Raw per-parameter gradient pytrees for debugging — the
+        functional analog of the reference's ``dict_grad_hook_factory``
+        (reference: models/netinterface.py:402-411): instead of registering
+        hooks on mutable modules, take the same gradients as the train step
+        without applying updates and inspect any leaf by name."""
+        def loss_fn(pd, ps):
+            return self.loss_and_logs(pd, ps, state.stats_depth, batch,
+                                      steps, warm)
+
+        (_, _), (g_depth, g_sf) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params_depth, state.params_sf)
+        return {"net_depth": g_depth, "net_sceneflow": g_sf}
 
     # ------------------------------------------------------- vali/test steps
 

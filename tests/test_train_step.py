@@ -169,3 +169,40 @@ def test_gap_buckets_share_no_recompile_within_gap(track_dir):
     state, _ = f(state, b, steps=2, warm=False)
     if before is not None:
         assert f._cache_size() - before == 2
+
+
+def test_grad_stats_logging(track_dir):
+    """log_grad_stats: per-net grad norms/max-abs ride the step logs
+    (functional analog of the reference's grad-hook debug utilities,
+    reference models/netinterface.py:362-411) and match the raw
+    grad_snapshot pytrees."""
+    import optax
+
+    ds = get_dataset("davis_sequence")(make_opt(track_dir), mode="train")
+    step = SceneFlowMotionFieldStep(small_cfg(log_grad_stats=True))
+    batch = device_batch(ds[0])
+    batch.pop("steps", None)
+    batch.pop("warp_window", None)
+    state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+
+    state2, logs = step.train_step(state, batch, steps=1, warm=False)
+    for k in ("grad_norm_depth", "grad_norm_sf",
+              "grad_max_depth", "grad_max_sf"):
+        assert k in logs
+    assert float(logs["grad_norm_sf"]) > 0
+    assert float(logs["grad_norm_depth"]) > 0
+    # warm phase: depth net frozen -> zero depth grads, live sf grads
+    state3, logs_w = step.train_step(state2, batch, steps=1, warm=True)
+    assert float(logs_w["grad_norm_depth"]) == 0.0
+    assert float(logs_w["grad_norm_sf"]) > 0
+
+    # the logged norm equals the norm of the raw snapshot pytree
+    state4 = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+    grads = step.grad_snapshot(state4, batch, steps=1, warm=False)
+    _, logs4 = step.train_step(state4, batch, steps=1, warm=False)
+    np.testing.assert_allclose(
+        float(logs4["grad_norm_sf"]),
+        float(optax.global_norm(grads["net_sceneflow"])), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(logs4["grad_norm_depth"]),
+        float(optax.global_norm(grads["net_depth"])), rtol=1e-5)
