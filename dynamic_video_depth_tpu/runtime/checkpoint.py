@@ -39,31 +39,55 @@ def _atomic_write(path: str, data: bytes, mode: str = "wb"):
         raise
 
 
+_WEIGHT_FIELDS = ("params_depth", "params_sf", "stats_depth", "step")
+
+
 def save_state(path: str, state: Any, epoch: int = 0, best: float = float("inf"),
-               extra: Optional[Dict] = None):
-    """Serialize ``state`` to ``path`` (.ckpt msgpack + .json sidecar)."""
+               extra: Optional[Dict] = None, include_opt: bool = True):
+    """Serialize ``state`` to ``path`` (.ckpt msgpack + .json sidecar).
+
+    ``include_opt=False`` saves weights + BN stats only (the reference's
+    periodic ``nets/%04d.pt`` default, loggers/loggers.py:265 + train.py
+    ``--save_net_opt``): Adam moments double a MiDaS checkpoint, and the
+    per-epoch net history rarely needs them. The sidecar records
+    ``weights_only`` so ``load_state`` rebuilds around fresh opt state."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = jax.device_get(state)
-    _atomic_write(path, serialization.to_bytes(state))
     meta = {"epoch": int(epoch), "best": float(best), **(extra or {})}
+    if include_opt:
+        payload = serialization.to_bytes(state)
+    else:
+        payload = serialization.to_bytes(
+            {k: getattr(state, k) for k in _WEIGHT_FIELDS})
+        meta["weights_only"] = True
+    _atomic_write(path, payload)
     _atomic_write(path + ".json", json.dumps(meta).encode(), "wb")
 
 
 def load_state(path: str, template: Any) -> Tuple[Any, Dict]:
     """Deserialize into the structure of ``template``; returns (state, meta).
     A missing or corrupt sidecar degrades to empty metadata (resume replays
-    an epoch) rather than refusing to load the checkpoint."""
-    with open(path, "rb") as f:
-        state = serialization.from_bytes(template, f.read())
-    meta = {}
+    an epoch) rather than refusing to load the checkpoint. A weights-only
+    checkpoint (``--save_net_opt`` not set on the saving run) restores
+    weights into ``template`` and keeps the template's optimizer state
+    (matching the reference's missing-optimizer load path,
+    models/netinterface.py:552-562)."""
+    meta_pre = {}
     if os.path.isfile(path + ".json"):
         try:
             with open(path + ".json") as f:
-                meta = json.load(f)
+                meta_pre = json.load(f)
         except (json.JSONDecodeError, OSError) as e:
             print(f"Warning: unreadable checkpoint sidecar {path}.json "
                   f"({e}); continuing with empty metadata")
-    return state, meta
+    with open(path, "rb") as f:
+        data = f.read()
+    if meta_pre.get("weights_only"):
+        part = serialization.from_bytes(
+            {k: getattr(template, k) for k in _WEIGHT_FIELDS}, data)
+        return template.replace(**part), meta_pre
+    state = serialization.from_bytes(template, data)
+    return state, meta_pre
 
 
 class AsyncSaver:
@@ -90,16 +114,18 @@ class AsyncSaver:
     def _worker(self):
         while True:
             job = self._q.get()
-            path, state, epoch, best, extra = job
+            path, state, epoch, best, extra, include_opt = job
             try:
-                save_state(path, state, epoch=epoch, best=best, extra=extra)
+                save_state(path, state, epoch=epoch, best=best, extra=extra,
+                           include_opt=include_opt)
             except Exception as e:  # surface without killing the loop
                 print(f"Warning: async checkpoint save failed: {e}")
             finally:
                 self._q.task_done()
 
-    def save(self, path, state, epoch=0, best=float("inf"), extra=None):
-        self._q.put((path, state, epoch, best, extra))
+    def save(self, path, state, epoch=0, best=float("inf"), extra=None,
+             include_opt=True):
+        self._q.put((path, state, epoch, best, extra, include_opt))
 
     def flush(self):
         self._q.join()

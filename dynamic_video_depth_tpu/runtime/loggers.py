@@ -214,6 +214,24 @@ class CsvLogger(BaseLogger):
         self._writer = None
         self._append = exists and self._resume_keys is not None
 
+    def _rewrite_merged(self, new_keys):
+        """Rewrite the file with the merged header (existing columns first,
+        new ones appended) so neither old rows nor new metrics are lost —
+        used both across resumes and mid-run when the metric set grows
+        (e.g. a --vali_at_start row precedes the first training epoch)."""
+        merged = list(self._keys) + sorted(set(new_keys) - set(self._keys))
+        self._file.close()
+        with open(self.filepath, newline="") as f:
+            old_rows = list(csv.DictReader(f))
+        with open(self.filepath, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=merged, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(old_rows)
+        self._file = open(self.filepath, "a", newline="")
+        self._keys = merged
+        self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
+                                      extrasaction="ignore")
+
     def on_epoch_end(self, epoch, logs=None):
         logs = dict(self.cumulator.epoch_logs)
         logs["epoch"] = epoch
@@ -221,30 +239,20 @@ class CsvLogger(BaseLogger):
             self._keys = sorted(logs.keys())
             if self._append and self._resume_keys:
                 if set(self._keys) != set(self._resume_keys):
-                    # metric set changed across the resume: rewrite the file
-                    # with the merged header (old columns first, new ones
-                    # appended) so neither old rows nor new metrics are lost
-                    merged = list(self._resume_keys) + sorted(
-                        set(self._keys) - set(self._resume_keys)
-                    )
                     print(f"Warning: resumed CSV {self.filepath} columns "
-                          f"changed; rewriting with merged header {merged}")
-                    self._file.close()
-                    with open(self.filepath, newline="") as f:
-                        old_rows = list(csv.DictReader(f))
-                    with open(self.filepath, "w", newline="") as f:
-                        w = csv.DictWriter(f, fieldnames=merged,
-                                           extrasaction="ignore")
-                        w.writeheader()
-                        w.writerows(old_rows)
-                    self._file = open(self.filepath, "a", newline="")
-                    self._keys = merged
+                          f"changed; rewriting with merged header")
+                    old = self._keys
+                    self._keys = list(self._resume_keys)
+                    self._rewrite_merged(old)
                 else:
                     self._keys = self._resume_keys
-            self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
-                                          extrasaction="ignore")
-            if not self._append:
-                self._writer.writeheader()
+            if self._writer is None:
+                self._writer = csv.DictWriter(
+                    self._file, fieldnames=self._keys, extrasaction="ignore")
+                if not self._append:
+                    self._writer.writeheader()
+        elif not set(logs) <= set(self._keys):
+            self._rewrite_merged(sorted(logs.keys()))
         self._writer.writerow(logs)
         self._file.flush()
 

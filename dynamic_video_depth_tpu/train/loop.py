@@ -171,7 +171,13 @@ class Trainer:
         })
         self.logger.on_train_begin()
         if opt.vali_at_start:
-            self._vali(max(start_epoch - 1, 0))
+            # validate BEFORE training and log it as epoch start-1
+            # (reference: netinterface.py:348-352 fires the logger stack, so
+            # the init model's vali loss lands in the CSV and seeds the
+            # best checkpoint)
+            e0 = max(start_epoch - 1, 0)
+            self.logger.on_epoch_begin(e0)
+            self.logger.on_epoch_end(e0, self._vali(e0))
         try:
             for epoch in range(start_epoch, opt.epoch + 1):
                 t_epoch = time.time()

@@ -112,3 +112,27 @@ def test_chunk_bucket_smaller_than_k(root):
     cum = LogCumulator()
     Trainer(m, ds_t, ds_v, ComposeLogger([cum]), opt).train(1)
     assert np.isfinite(cum.epoch_logs["loss"])
+
+
+def test_chunked_dataset_takes_max_warp_window():
+    """_ChunkedDataset reduces per-sample fused-warp bounds with max (the
+    chunk's one static window must be exact for every stacked sample)."""
+    import numpy as np
+
+    from dynamic_video_depth_tpu.train.loop import _ChunkedDataset
+
+    class DS:
+        def __init__(self):
+            self.samples = [
+                {"img_1": np.zeros((1, 4, 4, 3)), "steps": 1,
+                 "warp_window": w, "time_step": np.float32(0.1)}
+                for w in (16, 48, 8)
+            ]
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    ds = _ChunkedDataset(DS(), [(0, 1, 2)])
+    out = ds[0]
+    assert out["warp_window"] == 48
+    assert out["img_1"].shape == (3, 1, 4, 4, 3)

@@ -259,3 +259,86 @@ def test_shutterstock_recipe_chains_test(workdir):
     assert len(npzs) == 6
     d = np.load(npzs[0], allow_pickle=True)
     assert d["depth"].shape == (1, 32, 48)
+
+
+def test_save_state_weights_only_roundtrip(tmp_path):
+    """--save_net_opt off: periodic net checkpoints exclude optimizer state
+    (reference default for nets/%04d.pt, loggers/loggers.py:265) and load
+    back around the template's optimizer."""
+    import jax.numpy as jnp
+
+    from dynamic_video_depth_tpu.runtime.checkpoint import (
+        load_state,
+        save_state,
+    )
+    from dynamic_video_depth_tpu.train.step import TrainState
+
+    big = jnp.arange(4096, dtype=jnp.float32)
+    state = TrainState(
+        params_depth={"w": big}, params_sf={"v": big * 2},
+        stats_depth={}, opt_depth={"mu": big * 3}, opt_sf={"nu": big * 4},
+        step=jnp.asarray(7),
+    )
+    full = str(tmp_path / "full.ckpt")
+    slim = str(tmp_path / "slim.ckpt")
+    save_state(full, state, epoch=1, include_opt=True)
+    save_state(slim, state, epoch=1, include_opt=False)
+    assert os.path.getsize(slim) < os.path.getsize(full)
+    assert json.load(open(slim + ".json"))["weights_only"] is True
+
+    template = TrainState(
+        params_depth={"w": jnp.zeros_like(big)},
+        params_sf={"v": jnp.zeros_like(big)}, stats_depth={},
+        opt_depth={"mu": jnp.full_like(big, -1.0)},
+        opt_sf={"nu": jnp.full_like(big, -2.0)}, step=jnp.asarray(0),
+    )
+    loaded, meta = load_state(slim, template)
+    np.testing.assert_array_equal(np.asarray(loaded.params_depth["w"]),
+                                  np.asarray(big))
+    np.testing.assert_array_equal(np.asarray(loaded.params_sf["v"]),
+                                  np.asarray(big * 2))
+    # optimizer state untouched (fresh template values)
+    assert float(np.asarray(loaded.opt_depth["mu"])[0]) == -1.0
+    assert int(loaded.step) == 7 and meta["epoch"] == 1
+
+
+def test_force_overwrite_guard_and_vali_at_start(workdir):
+    """resume 0 into an existing experiment refuses without
+    --force_overwrite (reference prompts/refuses, train.py:51-77);
+    --vali_at_start logs the init model's vali loss as an epoch-0 CSV row
+    before any training (reference netinterface.py:348-352)."""
+    args = [a for a in FLAG_ARGS]
+    args[args.index("--logdir") + 1] = "./ckpt_guard"
+    run_cli([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "1",
+             "--vali_at_start", *args], cwd=workdir)
+    logdir = (workdir / "ckpt_guard" /
+              "scene_flow_motion_field_davis_sequence_track_dog" / "0")
+    with open(logdir / "epoch_loss.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    # epoch-0 row: vali only; epoch-1 row: train metrics present too
+    assert rows[0]["epoch"] == "0" and float(rows[0]["vali_loss"]) > 0
+    assert rows[0].get("loss", "") == ""
+    assert rows[1]["epoch"] == "1" and float(rows[1]["loss"]) > 0
+    # default periodic nets checkpoint is weights-only (no --save_net_opt)
+    meta = json.load(open(logdir / "nets" / "0001.ckpt.json"))
+    assert meta.get("weights_only") is True
+
+    # rerun fresh without --force_overwrite: refused, artifacts untouched
+    env = dict(os.environ)
+    env["DVD_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), "--epoch", "1",
+         *args], cwd=workdir, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode != 0
+    assert "Refusing to overwrite" in proc.stdout + proc.stderr
+    # with --force_overwrite: the old experiment is replaced
+    old_csv_len = len(rows)
+    run_cli([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "1",
+             "--force_overwrite", *args], cwd=workdir)
+    with open(logdir / "epoch_loss.csv", newline="") as f:
+        rows2 = list(csv.DictReader(f))
+    assert len(rows2) == 1  # fresh run, not appended to the old history
+    assert old_csv_len == 2

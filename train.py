@@ -78,6 +78,23 @@ def main():
     if opt.full_logdir is None:
         base = opt.logdir or "./checkpoints"
         opt.full_logdir = join(base, exprdir, str(opt.expr_id))
+    if opt.resume == 0 and os.path.isfile(join(opt.full_logdir,
+                                               "checkpoint.ckpt")):
+        # fresh run into a directory holding a previous run (reference
+        # prompts / refuses, train.py:51-77; non-interactive here: remove
+        # with --force_overwrite, otherwise refuse)
+        if opt.force_overwrite:
+            import shutil
+
+            print(f"Warning: removing previous experiment at "
+                  f"{opt.full_logdir} (--force_overwrite)")
+            shutil.rmtree(opt.full_logdir)
+        else:
+            sys.exit(
+                f"Refusing to overwrite the existing experiment at "
+                f"{opt.full_logdir}; pass --force_overwrite to replace it "
+                f"or --resume -1 to continue it"
+            )
     os.makedirs(opt.full_logdir, exist_ok=True)
     os.makedirs(join(opt.full_logdir, "nets"), exist_ok=True)
 
@@ -159,8 +176,9 @@ def main():
     # state buffers, so the async writer must fetch from an undonated copy
     snapshot = jax.jit(lambda s: jax.tree.map(jax.numpy.copy, s))
 
-    def save_fn(path, epoch=0, best=float("inf")):
-        saver.save(path, snapshot(model.state), epoch=epoch, best=best)
+    def save_fn(path, epoch=0, best=float("inf"), include_opt=True):
+        saver.save(path, snapshot(model.state), epoch=epoch, best=best,
+                   include_opt=include_opt)
 
     # one shared best value: periodic sidecars record it, and on resume the
     # previous best is restored from best.ckpt.json so the first resumed
@@ -182,8 +200,15 @@ def main():
                         best_holder=best_holder)
     )
     if opt.save_net > 0:
+        # periodic net history without optimizer state unless
+        # --save_net_opt (reference: train.py:177-180, save_optimizer flag)
+        def save_net_fn(path, epoch=0, best=float("inf")):
+            save_fn(path, epoch=epoch, best=best,
+                    include_opt=opt.save_net_opt)
+
         logger.add_logger(
-            ModelSaveLogger(save_fn, join(opt.full_logdir, "nets", "%04d.ckpt"),
+            ModelSaveLogger(save_net_fn,
+                            join(opt.full_logdir, "nets", "%04d.ckpt"),
                             period=opt.save_net, cumulator=cumulator,
                             best_holder=best_holder)
         )
