@@ -199,6 +199,15 @@ def parse_test(argv: Optional[Sequence[str]] = None):
     a("--checkpoint_path", type=str, required=True)
     a("--output_dir", type=str, required=True)
     a("--gpu", default="none", type=str)
+    # template-compat with the reference's test_cmd.txt (reference:
+    # options/options_test.py:24-49): net/dataset are validated against the
+    # checkpoint's opt.json; --overwrite gates clobbering an existing
+    # render set (reference test.py:55-60)
+    a("--net", type=str, default=None)
+    a("--dataset", type=str, default=None)
+    a("--suffix", type=str, default="")
+    a("--overwrite", action="store_true")
+    a("--html_logger", action="store_true")
     a("--epoch", type=int, default=-1,
       help="epoch checkpoint to load; -1 for best")
     a("--manual_seed", type=int, default=None)

@@ -51,6 +51,14 @@ def main():
     opt_train = Namespace(**load_opt(ckpt_dir))
     if opt_test.data_root:
         opt_train.data_root = opt_test.data_root
+    # template-compat validation: the reference's test_cmd.txt passes
+    # --net/--dataset explicitly; we rehydrate them from the checkpoint's
+    # opt.json — warn if the caller's values disagree (wrong checkpoint?)
+    for k in ("net", "dataset"):
+        v = getattr(opt_test, k, None)
+        if v and v != getattr(opt_train, k, v):
+            print(f"Warning: --{k} {v} differs from the checkpoint's "
+                  f"{getattr(opt_train, k)}; using the checkpoint's")
 
     Model = get_model(opt_train.net)
     model = Model(opt_train, None)
@@ -66,6 +74,15 @@ def main():
 
     epoch_string = "best" if opt_test.epoch < 0 else "%04d" % opt_test.epoch
     outdir = join(opt_test.output_dir, f"epoch{epoch_string}_test")
+    if os.path.isdir(outdir) and os.listdir(outdir):
+        # reference refuses to clobber an existing epoch render set unless
+        # --overwrite (reference: test.py:55-60)
+        if opt_test.overwrite:
+            import shutil
+
+            shutil.rmtree(outdir)
+        else:
+            sys.exit(f"{outdir} already exists; pass --overwrite to replace")
     os.makedirs(outdir, exist_ok=True)
     visualizer = HTMLVisualizer(n_workers=opt_test.vis_workers)
 

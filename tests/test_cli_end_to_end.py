@@ -89,6 +89,28 @@ def test_inference_cli_outputs(workdir):
     assert list((workdir / "test_out").glob("**/compare_*.png"))
 
 
+def test_inference_overwrite_guard(workdir):
+    """Re-rendering into an existing epoch output refuses without
+    --overwrite (reference: test.py:55-60)."""
+    logdir = workdir / LOGDIR
+    if not (workdir / "test_out" / "epochbest_test").is_dir():
+        pytest.skip("serial inference test did not run first")
+    env = dict(os.environ)
+    env["DVD_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test.py"),
+         "--checkpoint_path", str(logdir), "--output_dir", "./test_out"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode != 0
+    assert "already exists" in proc.stdout + proc.stderr
+    run([sys.executable, os.path.join(REPO, "test.py"),
+         "--checkpoint_path", str(logdir), "--output_dir", "./test_out",
+         "--overwrite"], cwd=workdir)
+    assert len(list((workdir / "test_out" / "epochbest_test")
+                    .glob("batch*.npz"))) == 8
+
+
 def test_fleet_cli(workdir):
     """train_fleet.py end-to-end: 2 tracks in lockstep on the virtual CPU
     mesh (one video per device), per-track logs/checkpoints, async one-step-

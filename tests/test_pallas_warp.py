@@ -191,3 +191,21 @@ def test_flow_cotangent_is_zero(rng):
         lambda f: jnp.sum(fused_backward_warp(src, f, None, 4))
     )(flow)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+@pytest.mark.parametrize("seed,scale", [(0, 5.0), (1, 20.0), (2, 60.0)])
+def test_required_window_property_fuzz(seed, scale):
+    """Property: for ANY flow, the window computed by required_window makes
+    the fused warp exact (the data-boundary guarantee the trainer's
+    full-height fallback relies on)."""
+    from dynamic_video_depth_tpu.ops.pallas.warp_kernel import required_window
+
+    rng = np.random.RandomState(seed)
+    h, w = 40, 16
+    src = jnp.asarray(rng.randn(1, h, w, 2).astype(np.float32))
+    flow = jnp.asarray((rng.randn(1, h, w, 2) * scale).astype(np.float32))
+    win = required_window(np.asarray(flow))
+    out = fused_backward_warp(src, flow, win, 8)
+    ref = backward_warp(src, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
