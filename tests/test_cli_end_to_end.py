@@ -122,7 +122,7 @@ def test_fleet_cli(workdir):
     args = [a for a in TRAIN_ARGS]
     args[args.index("--logdir") + 1] = "./fleet_ckpt"
     run([sys.executable, os.path.join(REPO, "train_fleet.py"),
-         "--tracks", "dog,train", "--epoch", "2", *args],
+         "--tracks", "dog,train", "--epoch", "2", "--vali_at_start", *args],
         cwd=workdir)
     for t in ("dog", "train"):
         tdir = workdir / "fleet_ckpt" / t
@@ -133,9 +133,10 @@ def test_fleet_cli(workdir):
     assert fleet_csv.is_file()
     rows = fleet_csv.read_text().strip().splitlines()
     assert len(rows) >= 3  # header + 2 epochs
-    # per-track vali history
+    # per-track vali history; --vali_at_start adds the epoch-0 init row
     hist = (workdir / "fleet_ckpt" / "dog" / "vali_loss.csv").read_text()
-    assert hist.startswith("epoch,vali_loss") and len(hist.splitlines()) == 3
+    assert hist.startswith("epoch,vali_loss") and len(hist.splitlines()) == 4
+    assert hist.splitlines()[1].startswith("0,")
 
 
 def test_inference_cli_sharded_matches_serial(workdir):

@@ -257,3 +257,35 @@ def test_batch_loader_early_exit_no_leak():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_dispatch_with_retry_transient_only():
+    """Transient remote-compile failures retry (bounded); real errors
+    propagate immediately."""
+    from dynamic_video_depth_tpu.train.loop import dispatch_with_retry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+                "tpu_compile_helper subprocess exit signal SIGKILL (9)")
+        return "ok"
+
+    assert dispatch_with_retry(flaky, "step", retries=2, wait_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    def real_bug():
+        raise ValueError("shape mismatch")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        dispatch_with_retry(real_bug, "step", retries=2, wait_s=0.0)
+
+    def always_transient():
+        raise RuntimeError("remote_compile: HTTP 500")
+
+    with _pytest.raises(RuntimeError, match="remote_compile"):
+        dispatch_with_retry(always_transient, "step", retries=1, wait_s=0.0)

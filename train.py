@@ -68,6 +68,15 @@ def main():
     from dynamic_video_depth_tpu.train.loop import Trainer
 
     opt, unique_params = config_mod.parse()
+    if (opt.multiprocess_distributed or opt.world_size != 1
+            or opt.node_rank != 0 or opt.init_url):
+        # the reference's torch-DDP plumbing (reference: train.py:111-139);
+        # on TPU, scaling is mesh sharding — don't let these silently no-op
+        print("Warning: torch-DDP flags (--multiprocess_distributed/"
+              "--world_size/--node_rank/--init_url) have no effect on the "
+              "TPU runtime; use --n_chips for sharded surfaces or "
+              "train_fleet.py --tracks a,b,... [--dp D] for multi-video "
+              "fleets (mesh collectives replace the NCCL process group)")
     if opt.manual_seed is not None:
         from dynamic_video_depth_tpu.utils.printing import set_manual_seed
 

@@ -167,7 +167,10 @@ def main():
 
     rng = np.random.RandomState(opt.manual_seed or 0)
     # group files per gap so every lockstep call has one static gap
-    from dynamic_video_depth_tpu.train.loop import group_by_gap
+    from dynamic_video_depth_tpu.train.loop import (
+        dispatch_with_retry,
+        group_by_gap,
+    )
 
     orders = [group_by_gap(ds.gap_of, len(ds.file_list)) for ds in datasets]
     gaps = sorted(set.intersection(*[set(o.keys()) for o in orders]))
@@ -248,78 +251,13 @@ def main():
             mean_logs["size"] = vals.shape[0]
             logger.on_batch_end(it0 + ki, mean_logs)
 
-    for epoch in range(start_epoch, opt.epoch + 1):
-        warm = epoch <= getattr(opt, "warm_sf", 0)
-        logger.on_epoch_begin(epoch)
-        n_steps = opt.epoch_batches or min(len(d) for d in datasets)
-        it_ = 0
-        pending = None
-        while it_ < n_steps:
-            gap = gaps[rng.choice(len(gaps), p=gap_probs)]
-            euler_steps = int(round(gap / datasets[0].unit))
-            k = min(spd, n_steps - it_)
-            if k > 1:
-                # K same-gap lockstep steps in ONE dispatch (lax.scan)
-                idx_lists = [
-                    [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
-                     for vi in range(n_videos)]
-                    for _ in range(k)
-                ]
-                chunk = train_cache.stacked_chunk(idx_lists)
-                states, packed = fleet.train_step_scan(
-                    states, chunk, steps=euler_steps, warm=warm,
-                    full_warp=base._full_warp(
-                        train_cache.max_warp_window or None))
-                if metric_keys is None:
-                    metric_keys = sorted(base.metrics_packed)
-                # fetched ONE DISPATCH BEHIND like the k=1 path: a sync
-                # read here would give back part of the latency the scan
-                # amortizes (CLAUDE.md: keep host syncs out of the hot loop)
-                try:
-                    packed.copy_to_host_async()
-                except AttributeError:
-                    pass
-                if pending is not None:
-                    _flush_pending(pending, metric_keys)
-                pending = (it_, packed)
-            else:
-                if dp > 1:
-                    idx_lists = [
-                        [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
-                         for _ in range(bsz)]
-                        for vi in range(n_videos)
-                    ]
-                    stacked = host_stacked(datasets, idx_lists)
-                    states, stacked = fleet.place(states, stacked)
-                    fw = base._full_warp(warp_holder["max"] or None)
-                else:
-                    idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
-                            for vi in range(n_videos)]
-                    stacked = train_cache.stacked(idxs)
-                    fw = base._full_warp(train_cache.max_warp_window or None)
-                states, logs = fleet.train_step(states, stacked,
-                                                steps=euler_steps, warm=warm,
-                                                full_warp=fw)
-                if metric_keys is None:
-                    metric_keys = sorted(base.metrics_packed)
-                # metrics fetched ONE STEP BEHIND: a synchronous read here
-                # would stall the dispatch queue on a device roundtrip every
-                # step (same pattern as the single-video loop)
-                packed = logs["_packed"]
-                try:
-                    packed.copy_to_host_async()
-                except AttributeError:
-                    pass
-                if pending is not None:
-                    _flush_pending(pending, metric_keys)
-                pending = (it_, packed)
-            it_ += k
-        if pending is not None:
-            _flush_pending(pending, metric_keys)
-            pending = None
-        # lockstep per-video validation (masked disparity MSE, reference's
-        # model-selection metric) over the common frame count
-        n_vali = min(min(len(v) for v in vali_sets), opt.vali_batches or 10**9)
+    def fleet_vali_and_checkpoint(epoch):
+        """Lockstep per-video validation (masked disparity MSE, the
+        reference's model-selection metric) + per-track history/checkpoints.
+        ``states``/``best_vali`` are shared with the epoch loop."""
+        nonlocal states
+        n_vali = min(min(len(v) for v in vali_sets),
+                     opt.vali_batches or 10**9)
         vali_losses = np.zeros(n_videos)
         for fi in range(n_vali):
             if dp > 1:
@@ -351,6 +289,88 @@ def main():
                 best_vali[vi] = float(vali_losses[vi])
                 save_state(join(logdir, t, "best.ckpt"), state_i,
                            epoch=epoch, best=best_vali[vi])
+
+    if getattr(opt, "vali_at_start", False):
+        # init-model vali before training (reference: netinterface.py:
+        # 348-352): logs an epoch start-1 row and seeds the per-track best
+        e0 = max(start_epoch - 1, 0)
+        logger.on_epoch_begin(e0)
+        fleet_vali_and_checkpoint(e0)
+
+    for epoch in range(start_epoch, opt.epoch + 1):
+        warm = epoch <= getattr(opt, "warm_sf", 0)
+        logger.on_epoch_begin(epoch)
+        n_steps = opt.epoch_batches or min(len(d) for d in datasets)
+        it_ = 0
+        pending = None
+        while it_ < n_steps:
+            gap = gaps[rng.choice(len(gaps), p=gap_probs)]
+            euler_steps = int(round(gap / datasets[0].unit))
+            k = min(spd, n_steps - it_)
+            if k > 1:
+                # K same-gap lockstep steps in ONE dispatch (lax.scan)
+                idx_lists = [
+                    [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                     for vi in range(n_videos)]
+                    for _ in range(k)
+                ]
+                chunk = train_cache.stacked_chunk(idx_lists)
+                states, packed = dispatch_with_retry(
+                    lambda: fleet.train_step_scan(
+                        states, chunk, steps=euler_steps, warm=warm,
+                        full_warp=base._full_warp(
+                            train_cache.max_warp_window or None)),
+                    f"fleet scan dispatch (epoch {epoch})")
+                if metric_keys is None:
+                    metric_keys = sorted(base.metrics_packed)
+                # fetched ONE DISPATCH BEHIND like the k=1 path: a sync
+                # read here would give back part of the latency the scan
+                # amortizes (CLAUDE.md: keep host syncs out of the hot loop)
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending is not None:
+                    _flush_pending(pending, metric_keys)
+                pending = (it_, packed)
+            else:
+                if dp > 1:
+                    idx_lists = [
+                        [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                         for _ in range(bsz)]
+                        for vi in range(n_videos)
+                    ]
+                    stacked = host_stacked(datasets, idx_lists)
+                    states, stacked = fleet.place(states, stacked)
+                    fw = base._full_warp(warp_holder["max"] or None)
+                else:
+                    idxs = [orders[vi][gap][rng.randint(len(orders[vi][gap]))]
+                            for vi in range(n_videos)]
+                    stacked = train_cache.stacked(idxs)
+                    fw = base._full_warp(train_cache.max_warp_window or None)
+                states, logs = dispatch_with_retry(
+                    lambda: fleet.train_step(states, stacked,
+                                             steps=euler_steps, warm=warm,
+                                             full_warp=fw),
+                    f"fleet step (epoch {epoch})")
+                if metric_keys is None:
+                    metric_keys = sorted(base.metrics_packed)
+                # metrics fetched ONE STEP BEHIND: a synchronous read here
+                # would stall the dispatch queue on a device roundtrip every
+                # step (same pattern as the single-video loop)
+                packed = logs["_packed"]
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending is not None:
+                    _flush_pending(pending, metric_keys)
+                pending = (it_, packed)
+            it_ += k
+        if pending is not None:
+            _flush_pending(pending, metric_keys)
+            pending = None
+        fleet_vali_and_checkpoint(epoch)
     logger.on_train_end()
     print(f"fleet of {n_videos} videos done; checkpoints under {logdir}/<track>/")
 
