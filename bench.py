@@ -76,10 +76,17 @@ def main():
     state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
 
     gap = 2
+
+    from dynamic_video_depth_tpu.train.loop import dispatch_with_retry
+
     # compile + warm up; float() forces a REAL value fetch — on this
     # environment's experimental remote backend block_until_ready returns at
-    # enqueue, so only a value read measures true completion
-    for _ in range(3):
+    # enqueue, so only a value read measures true completion. The first call
+    # may remote-compile; retry transient helper OOMs (loop.py).
+    state, logs = dispatch_with_retry(
+        lambda: step.train_step(state, batch, steps=gap, warm=False),
+        "bench step compile")
+    for _ in range(2):
         state, logs = step.train_step(state, batch, steps=gap, warm=False)
     _ = float(logs["loss"])
 
@@ -151,8 +158,10 @@ def main():
     def timed(bsz, steps):
         b = _synthetic_batch(bsz, h, w, rng)
         nonlocal state
-        for _ in range(2):
-            state, lg = step.train_step(state, b, steps=steps, warm=False)
+        state, lg = dispatch_with_retry(
+            lambda: step.train_step(state, b, steps=steps, warm=False),
+            f"bench matrix compile (batch {bsz}, gap {steps})")
+        state, lg = step.train_step(state, b, steps=steps, warm=False)
         _ = float(lg["loss"])
         ts = []
         for _ in range(3):

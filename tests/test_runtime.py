@@ -289,3 +289,52 @@ def test_dispatch_with_retry_transient_only():
 
     with _pytest.raises(RuntimeError, match="remote_compile"):
         dispatch_with_retry(always_transient, "step", retries=1, wait_s=0.0)
+
+
+def test_depth_metrics_known_values():
+    """utils/metrics.py: exact values on a hand-computable case + the
+    invalid-mask edge."""
+    import numpy as np
+
+    from dynamic_video_depth_tpu.utils.metrics import (
+        depth_metrics,
+        scale_invariant_alignment,
+    )
+
+    gt = np.array([1.0, 2.0, 4.0])
+    pred = np.array([1.1, 2.0, 4.8])
+    m = depth_metrics(pred, gt)
+    np.testing.assert_allclose(
+        m["abs_rel"], np.mean([0.1 / 1, 0.0, 0.8 / 4]), rtol=1e-10)
+    np.testing.assert_allclose(
+        m["rmse"], np.sqrt(np.mean([0.01, 0.0, 0.64])), rtol=1e-10)
+    assert m["d1"] == 1.0  # ratios [1.1, 1.0, 1.2] all < 1.25
+    # perfect prediction: zeros and d=1
+    perfect = depth_metrics(gt, gt)
+    assert perfect["abs_rel"] == 0.0 and perfect["d1"] == 1.0
+    # no valid gt -> NaNs, not a crash
+    empty = depth_metrics(pred, np.zeros(3))
+    assert np.isnan(empty["rmse"])
+    # median-ratio alignment: pred scaled by 0.5 -> scale 2
+    assert scale_invariant_alignment(gt * 0.5, gt) == 2.0
+
+
+def test_trace_if_writes_profile(tmp_path):
+    """--profile_dir machinery: the trace context writes profiler artifacts
+    (hardware-verified on TPU in round 3; CPU path pinned here)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_video_depth_tpu.runtime.profiling import trace_if
+
+    out = str(tmp_path / "prof")
+    with trace_if(out, True):
+        _ = jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    files = glob.glob(out + "/**/*.xplane.pb", recursive=True)
+    assert files, "no profiler artifacts written"
+    # disabled -> no-op, no directory
+    with trace_if(str(tmp_path / "prof2"), False):
+        pass
+    assert not (tmp_path / "prof2").exists()
