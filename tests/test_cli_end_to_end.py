@@ -231,3 +231,15 @@ def test_train_cli_migrates_reference_checkpoint(workdir):
     net_d.load_state_dict(exported["nets"][0], strict=True)
     net_sf.load_state_dict(exported["nets"][1], strict=True)
     assert "optimizers" in exported
+
+
+def test_precompile_variants_tool(workdir):
+    """scripts/precompile_variants.py: each (batch, gap, warm) variant
+    compiles in its own fresh process (the compile-helper OOM mitigation);
+    exit 0 means all variants built."""
+    out = run([sys.executable,
+               os.path.join(REPO, "scripts", "precompile_variants.py"),
+               "--gaps", "1", "--batch_sizes", "1", "--depth_net", "tiny",
+               "--h", "32", "--w", "48", "--lr", "1e-4",
+               "--scene_lr_mul", "10"], cwd=workdir)
+    assert out.count("compiled bsz=1") == 2  # warm True + False
