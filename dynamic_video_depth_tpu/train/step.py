@@ -85,7 +85,9 @@ class TrainStepConfig:
     use_pallas_sf: str = "auto"
     # fused Pallas backward warp ('auto' = on TPU backends only)
     use_pallas_warp: str = "auto"
-    # fused Pallas projection+loss reductions ('auto' = on TPU backends only)
+    # fused Pallas projection+loss reductions ('auto' = on TPU backends AND
+    # the frame is large enough that HBM residency beats per-op overhead —
+    # see _PALLAS_LOSS_AUTO_MIN_PIXELS; 'on'/'off' force either path)
     use_pallas_loss: str = "auto"
     # source-row window of the fused warp; None = full height (always
     # exact), 64 covers any flow that varies < 48 px vertically within an
@@ -373,10 +375,18 @@ class SceneFlowMotionFieldStep:
         sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
         return self.cfg.loss.acc_mul * jnp.mean(jnp.abs(sf1 - sf0))
 
-    def _loss_use_pallas(self) -> bool:
+    # Interleaved hardware A/Bs (RESULTS.md, round 3) put the fused
+    # projection+loss kernel's crossover between 224x384 (~0.7 ms net cost:
+    # per-op overhead dominates and XLA fuses the projection math fine) and
+    # 320x576 (~1.5 ms win: skipping the intermediate HBM round trips pays
+    # once the per-pixel working set is large). 'auto' switches at 2^17 px.
+    _PALLAS_LOSS_AUTO_MIN_PIXELS = 131072
+
+    def _loss_use_pallas(self, pixels: int) -> bool:
         mode = self.cfg.use_pallas_loss
         if mode == "auto":
-            return jax.default_backend() not in ("cpu",)
+            return (jax.default_backend() not in ("cpu",)
+                    and pixels >= self._PALLAS_LOSS_AUTO_MIN_PIXELS)
         return mode in ("1", "true", "on", "yes")
 
     def _fused_loss_forward(self, params_depth, params_sf, stats_depth,
@@ -435,7 +445,8 @@ class SceneFlowMotionFieldStep:
     def loss_and_logs(self, params_depth, params_sf, stats_depth, batch,
                       steps: int, warm: bool, full_warp: bool = False):
         cfg = self.cfg.loss
-        if self._loss_use_pallas():
+        pixels = batch["img_1"].shape[1] * batch["img_1"].shape[2]
+        if self._loss_use_pallas(pixels):
             main, logs, global_p1, first_sf = self._fused_loss_forward(
                 params_depth, params_sf, stats_depth, batch, steps, warm,
                 full_warp,

@@ -1,6 +1,8 @@
 """The fused-Pallas scene-flow path must produce the same training step as
 the Flax path (values + parameter updates), in interpret mode on CPU."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +24,30 @@ def cfg(use_pallas, use_pallas_warp=False, warp_window=None,
         use_pallas_loss="on" if use_pallas_loss else "off",
         pallas_warp_window=warp_window,
     )
+
+
+def test_pallas_loss_auto_is_resolution_aware(monkeypatch):
+    """'auto' must pick the measured-faster path per config: XLA at the
+    canonical 224x384 (the kernel is a ~0.7 ms net cost there), the fused
+    kernel from ~2^17 px up (where HBM residency wins — RESULTS.md round-3
+    interleaved A/Bs)."""
+    step = SceneFlowMotionFieldStep(cfg(True))
+    auto = dataclasses.replace(step.cfg, use_pallas_loss="auto")
+    step_auto = SceneFlowMotionFieldStep(auto)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not step_auto._loss_use_pallas(224 * 384)
+    assert step_auto._loss_use_pallas(320 * 576)
+    # forced modes ignore resolution
+    assert SceneFlowMotionFieldStep(
+        dataclasses.replace(auto, use_pallas_loss="on")
+    )._loss_use_pallas(224 * 384)
+    assert not SceneFlowMotionFieldStep(
+        dataclasses.replace(auto, use_pallas_loss="off")
+    )._loss_use_pallas(320 * 576)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not step_auto._loss_use_pallas(320 * 576)
 
 
 def test_pallas_step_matches_flax_step(rng):
