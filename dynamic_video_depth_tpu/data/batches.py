@@ -94,6 +94,18 @@ def pair_batch_from_packed(
     return batch
 
 
+# Host-side batch keys with non-array collation semantics. Every path that
+# combines samples (grouped batches here, the chunked view in train/loop.py,
+# the fleet assembly in train_fleet.py / data/prefetch.py) consults this
+# table, so a new host-side key is added in ONE place:
+SPECIAL_COLLATORS = {
+    # bookkeeping strings stay a list
+    "pair_path": lambda vals: [v for v in vals],
+    # exactness bound for the fused warp: the combined batch needs the max
+    "warp_window": lambda vals: max(int(v) for v in vals),
+}
+
+
 def collate_batches(samples) -> Dict[str, np.ndarray]:
     """Concatenate same-gap pair batches along the batch axis (the TPU
     analog of the reference's DataLoader batching; all samples must share
@@ -101,11 +113,9 @@ def collate_batches(samples) -> Dict[str, np.ndarray]:
     out = {}
     first = samples[0]
     for key, v0 in first.items():
-        if key == "pair_path":
-            out[key] = [s[key] for s in samples]
-        elif key == "warp_window":
-            # exactness bound for the fused warp: the batch needs the max
-            out[key] = max(int(s[key]) for s in samples)
+        special = SPECIAL_COLLATORS.get(key)
+        if special is not None:
+            out[key] = special([s[key] for s in samples])
         elif np.ndim(v0) == 0:
             out[key] = v0
         else:

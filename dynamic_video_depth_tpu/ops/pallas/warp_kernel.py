@@ -120,9 +120,20 @@ def _sample_coords(flow_ref, h, w, wp, rows):
     return ix0, ix1, wx, iy0, iy1, wy
 
 
-def _window_offset(iy0, h, win):
-    """Sublane-aligned start row of the source window for this block."""
-    off = jnp.clip(jnp.min(iy0), 0, max(h - win, 0))
+def _window_offset(iy0, h, w, wp, rows, win):
+    """Sublane-aligned start row of the source window for this block.
+
+    The min runs over REAL columns only: the zero-flow padded lane columns
+    (w..wp) sample their own row, which would drag the window start up to
+    the block's row and silently clamp genuine downward flow at any width
+    that is not a multiple of 128. Padded points' outputs are sliced off by
+    the wrapper (and carry zero cotangent in the backward), so excluding
+    them never affects results — it keeps the window positioned by the
+    flow the guard (:func:`required_window`) actually inspected."""
+    n = rows * wp
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1).reshape(1, n)
+    iy0_real = jnp.where(lane_x < w, iy0, h - 1)
+    off = jnp.clip(jnp.min(iy0_real), 0, max(h - win, 0))
     return (off // 8) * 8  # sublane alignment for the dynamic slice
 
 
@@ -164,7 +175,7 @@ def _tent_chunk(flow_ref, h, w, wp, rows, win, off, lo, size):
 def _fwd_kernel(h, w, wp, c, rows, win, src_ref, flow_ref, out_ref):
     n = rows * wp
     _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, wp, rows)
-    off = _window_offset(iy0, h, win)
+    off = _window_offset(iy0, h, w, wp, rows, win)
     for lo, size in _chunks(n):
         wy_mat_t, wx_mat_t = _tent_chunk(flow_ref, h, w, wp, rows, win, off,
                                          lo, size)
@@ -184,7 +195,7 @@ def _fwd_kernel(h, w, wp, c, rows, win, src_ref, flow_ref, out_ref):
 def _bwd_kernel(h, w, wp, c, rows, win, flow_ref, g_ref, dsrc_ref):
     n = rows * wp
     _, _, _, iy0, _, _ = _sample_coords(flow_ref, h, w, wp, rows)
-    off = _window_offset(iy0, h, win)
+    off = _window_offset(iy0, h, w, wp, rows, win)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():

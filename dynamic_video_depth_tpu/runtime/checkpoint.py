@@ -82,12 +82,25 @@ def load_state(path: str, template: Any) -> Tuple[Any, Dict]:
                   f"({e}); continuing with empty metadata")
     with open(path, "rb") as f:
         data = f.read()
-    if meta_pre.get("weights_only"):
-        part = serialization.from_bytes(
-            {k: getattr(template, k) for k in _WEIGHT_FIELDS}, data)
+    # The sidecar is advisory, never load-bearing: the PAYLOAD decides the
+    # layout (a crash between the ckpt and sidecar writes, or a lost/corrupt
+    # sidecar, must degrade — not crash --resume N, and not silently drop a
+    # full payload's optimizer state against the weights-only subset, which
+    # from_bytes would tolerate: it ignores extra top-level keys).
+    raw = serialization.msgpack_restore(data)
+    tpl_sd = serialization.to_state_dict(template)
+    weights_only = (isinstance(raw, dict) and isinstance(tpl_sd, dict)
+                    and set(raw) == set(_WEIGHT_FIELDS)
+                    and set(raw) != set(tpl_sd))
+    if meta_pre and bool(meta_pre.get("weights_only")) != weights_only:
+        print(f"Warning: checkpoint {path} payload is "
+              f"{'weights-only' if weights_only else 'full'} but its "
+              "sidecar disagrees; restoring from the payload layout")
+    if weights_only:
+        part = serialization.from_state_dict(
+            {k: getattr(template, k) for k in _WEIGHT_FIELDS}, raw)
         return template.replace(**part), meta_pre
-    state = serialization.from_bytes(template, data)
-    return state, meta_pre
+    return serialization.from_state_dict(template, raw), meta_pre
 
 
 class AsyncSaver:

@@ -27,19 +27,33 @@ def dispatch_with_retry(fn, what: str, retries: int = 2, wait_s: float = 20.0):
     boundary. Each variant compiles once (persistent cache), so a bounded
     retry re-enters the compile against a fresh helper. Only errors that
     look like the transient backend failure are retried; real errors
-    propagate immediately."""
+    propagate immediately.
+
+    Donation caveat: the train steps donate their state buffers, which are
+    only consumed once EXECUTION begins — a compile-stage failure (the case
+    this guard exists for) leaves them intact and the retry is sound. If a
+    transient error instead struck mid-execution, the retry re-dispatches
+    already-deleted arrays; that artifact ("Array has been deleted") is
+    detected and the ORIGINAL transient failure is raised so the real cause
+    is never masked."""
     import time as _time
 
+    last_transient = None
     for attempt in range(retries + 1):
         try:
             return fn()
         except Exception as e:  # jax wraps backend errors opaquely
             msg = str(e)
+            if last_transient is not None and "deleted" in msg.lower():
+                # the failed attempt already consumed the donated inputs:
+                # unrecoverable here — surface what actually went wrong
+                raise last_transient
             transient = any(t in msg for t in (
                 "remote_compile", "SIGKILL", "DEADLINE_EXCEEDED",
                 "UNAVAILABLE"))
             if not transient or attempt == retries:
                 raise
+            last_transient = e
             print(f"Warning: {what} hit a transient backend error "
                   f"({msg.splitlines()[0][:140]}); retrying "
                   f"({attempt + 1}/{retries}) in {wait_s:.0f}s", flush=True)
@@ -90,13 +104,14 @@ class _ChunkedDataset:
         return len(self.chunks)
 
     def __getitem__(self, ci: int):
+        from ..data.batches import SPECIAL_COLLATORS
+
         samples = [self.ds[i] for i in self.chunks[ci]]
         out = {}
         for k, v0 in samples[0].items():
-            if k == "pair_path":
-                out[k] = [s[k] for s in samples]
-            elif k == "warp_window":
-                out[k] = max(int(s[k]) for s in samples)
+            special = SPECIAL_COLLATORS.get(k)
+            if special is not None:
+                out[k] = special([s[k] for s in samples])
             elif k == "steps" or np.ndim(v0) == 0:
                 out[k] = np.stack([np.asarray(s[k]) for s in samples]) \
                     if k == "time_step" else v0
@@ -275,7 +290,8 @@ class Trainer:
                     logs["batch_time"] = time.time() - t_step
                 self.logger.on_batch_end(i, logs)
             if self.visualize_fn is not None:
-                self.visualize_fn("train", epoch, i, dev, host)
+                self.visualize_fn("train", epoch, i, dev, host,
+                                  n_steps=len(order))
             t_data = time.time()
         if pending is not None:
             self._flush_logs(pending)
@@ -387,7 +403,7 @@ class Trainer:
             losses.append(float(logs["loss"]))
             sizes.append(int(logs.get("size", 1)))
             if self.visualize_fn is not None:
-                self.visualize_fn("vali", epoch, idx, dev, host)
+                self.visualize_fn("vali", epoch, idx, dev, host, n_steps=n)
         total = max(sum(sizes), 1)
         loss = float(np.sum(np.asarray(losses) * np.asarray(sizes)) / total)
         return {"loss": loss, "size": total}

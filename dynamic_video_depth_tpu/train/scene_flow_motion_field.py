@@ -277,10 +277,16 @@ class Model:
             "net_sceneflow": count(self.state.params_sf),
         }
 
-    def vis_on_batch(self, batch: Dict) -> Dict:
-        """Host prediction dict for visualization (train-pair batches)."""
+    def vis_on_batch(self, batch: Dict,
+                     warp_window: Optional[int] = None) -> Dict:
+        """Host prediction dict for visualization (train-pair batches).
+        ``warp_window`` is the batch's per-sample exactness bound: batches
+        the trainer escalated to the full-height warp visualize through the
+        same exact specialization, so dumped maps match the optimized
+        losses."""
         steps = self.batch_steps(batch)
-        pred = self.step.forward_vis(self.state, batch, steps=steps)
+        pred = self.step.forward_vis(self.state, batch, steps=steps,
+                                     full_warp=self._full_warp(warp_window))
         return {k: np.asarray(v) for k, v in pred.items()}
 
     def pack_output(self, pred: Dict, batch: Dict) -> Dict:

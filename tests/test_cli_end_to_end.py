@@ -66,6 +66,32 @@ def test_train_fresh_and_resume(workdir):
     assert best1 <= best0 + 1e-12
 
 
+def test_visualizations_gate_like_reference(workdir):
+    """Vali dumps count from the START of the vali set (reference
+    video_base.py:90) — an end-relative train-count gate would never fire
+    for a short vali set; and the train gate must use the epoch's TRUE
+    batch count (grouped batching, no --epoch_batches), not the sample
+    count (reference scene_flow_motion_field.py:216 uses epoch_batches)."""
+    run([sys.executable, os.path.join(REPO, "train.py"),
+         "--net", "scene_flow_motion_field", "--dataset", "davis_sequence",
+         "--track_id", "dog", "--epoch", "1", "--vali_batches", "2",
+         "--vis_batches_vali", "1", "--vis_batches_train", "2",
+         "--batch_size", "2", "--lr", "1e-4", "--scene_lr_mul", "10",
+         "--warm_sf", "0", "--time_dependent", "--gaps", "1,2",
+         "--use_disp", "--depth_net", "tiny",
+         "--logdir", "./checkpoints_vis", "--suffix", "track_{track_id}"],
+        cwd=workdir)
+    visdir = (workdir / "checkpoints_vis" /
+              "scene_flow_motion_field_davis_sequence_track_dog" / "0" /
+              "visualize")
+    vali_npz = list((visdir / "epoch0001_vali").glob("*.npz"))
+    assert len(vali_npz) == 1, "first vali batch must be visualized"
+    assert vali_npz[0].name == "rank0000_batch0000.npz"
+    train_npz = list((visdir / "epoch0001_train").glob("*.npz"))
+    assert len(train_npz) == 2, (
+        "the LAST vis_batches_train grouped batches must be visualized")
+
+
 def test_inference_cli_outputs(workdir):
     logdir = workdir / LOGDIR
     if not (logdir / "best.ckpt").is_file():

@@ -301,6 +301,22 @@ def test_save_state_weights_only_roundtrip(tmp_path):
     assert float(np.asarray(loaded.opt_depth["mu"])[0]) == -1.0
     assert int(loaded.step) == 7 and meta["epoch"] == 1
 
+    # The sidecar is advisory, not load-bearing: a weights-only payload
+    # whose sidecar was lost (crash between the two writes) must still
+    # restore from the payload layout instead of crashing --resume N.
+    os.remove(slim + ".json")
+    recovered, meta2 = load_state(slim, template)
+    np.testing.assert_array_equal(np.asarray(recovered.params_depth["w"]),
+                                  np.asarray(big))
+    assert float(np.asarray(recovered.opt_depth["mu"])[0]) == -1.0
+    assert meta2 == {}
+    # ...and a stale sidecar lying about the layout is overridden too
+    with open(full + ".json", "w") as f:
+        json.dump({"epoch": 1, "weights_only": True}, f)
+    recovered_full, _ = load_state(full, template)
+    np.testing.assert_array_equal(np.asarray(recovered_full.opt_depth["mu"]),
+                                  np.asarray(big * 3))
+
 
 def test_force_overwrite_guard_and_vali_at_start(workdir):
     """resume 0 into an existing experiment refuses without

@@ -130,6 +130,35 @@ def test_required_window_is_tight_and_exact(rng):
             "is not tight and the fallback never engages)")
 
 
+@pytest.mark.parametrize("fy", [30.0, -30.0])
+def test_required_window_exact_at_nonmultiple_width_coherent_flow(rng, fy):
+    """Regression: at widths not a multiple of 128, the kernel's zero-flow
+    padded lane columns used to drag each block's window offset up to the
+    block's own row (their iy0 = own row), silently clamping COHERENT
+    vertical flow even at the window required_window declared exact. The
+    offset min must ignore padded columns (value + gradient parity)."""
+    from dynamic_video_depth_tpu.ops.pallas.warp_kernel import required_window
+
+    h, w = 64, 24  # wp = 128 > w: padded lanes present
+    src = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    flow_np = np.stack([rng.randn(1, h, w) * 3.0,
+                        np.full((1, h, w), fy) + rng.randn(1, h, w) * 2.0],
+                       axis=-1).astype(np.float32)
+    flow = jnp.asarray(flow_np)
+    win = required_window(flow_np)
+    assert win < h, "coherent flow must not force the full-height window"
+    out = fused_backward_warp(src, flow, win, 8)
+    ref = backward_warp(src, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    dsrc = jax.grad(
+        lambda s: jnp.sum(fused_backward_warp(s, flow, win, 8) * g))(src)
+    dref = jax.grad(lambda s: jnp.sum(backward_warp(s, flow) * g))(src)
+    np.testing.assert_allclose(np.asarray(dsrc), np.asarray(dref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_required_window_small_flow_is_small(rng):
     from dynamic_video_depth_tpu.ops.pallas.warp_kernel import required_window
 
@@ -159,6 +188,25 @@ def test_step_full_warp_fallback_decision():
     assert not m._full_warp(None)       # no data bound -> configured window
     assert not m._full_warp(64)         # bound met -> windowed (exact)
     assert m._full_warp(72)             # violated -> full-height fallback
+
+    # visualization must escalate with the SAME decision, so dumped maps
+    # match the losses actually optimized on escalated batches
+    seen = {}
+
+    def fake_forward_vis(state, batch, steps, full_warp=False):
+        seen["full_warp"] = full_warp
+        return {}
+
+    m.step.forward_vis = fake_forward_vis
+    m.state = None
+    m.vis_on_batch({"time_stamp_1": np.zeros((1, 1, 1, 1)),
+                    "time_stamp_2": np.full((1, 1, 1, 1), 0.125),
+                    "time_step": np.float32(0.125)}, warp_window=72)
+    assert seen["full_warp"] is True
+    m.vis_on_batch({"time_stamp_1": np.zeros((1, 1, 1, 1)),
+                    "time_stamp_2": np.full((1, 1, 1, 1), 0.125),
+                    "time_step": np.float32(0.125)}, warp_window=64)
+    assert seen["full_warp"] is False
 
 
 def test_dataset_emits_warp_window(tmp_path):

@@ -290,6 +290,21 @@ def test_dispatch_with_retry_transient_only():
     with _pytest.raises(RuntimeError, match="remote_compile"):
         dispatch_with_retry(always_transient, "step", retries=1, wait_s=0.0)
 
+    # A transient failure that struck mid-EXECUTION consumed the donated
+    # state buffers; the retry's "Array has been deleted" artifact must
+    # surface the ORIGINAL failure, not mask it.
+    calls2 = {"n": 0}
+
+    def donated():
+        calls2["n"] += 1
+        if calls2["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: socket closed mid-execution")
+        raise RuntimeError("Array has been deleted.")
+
+    with _pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        dispatch_with_retry(donated, "step", retries=2, wait_s=0.0)
+    assert calls2["n"] == 2  # gave up at the deleted-buffer artifact
+
 
 def test_depth_metrics_known_values():
     """utils/metrics.py: exact values on a hand-computable case + the

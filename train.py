@@ -235,30 +235,38 @@ def main():
 
     from dynamic_video_depth_tpu.train.loop import vis_index
 
-    n_train_steps = opt.epoch_batches or None  # resolved per-call if unset
-
-    def visualize_fn(phase, epoch, batch_idx, dev_batch, host_batch):
+    def visualize_fn(phase, epoch, batch_idx, dev_batch, host_batch,
+                     n_steps=None):
         every = opt.vis_every_train if phase == "train" else opt.vis_every_vali
-        limit = opt.vis_batches_train if phase == "train" else opt.vis_batches_vali
-        n_steps = n_train_steps if n_train_steps is not None \
-            else len(dataset_train)
-        # reference indexes from the END of the epoch unless --vis_at_start
-        # (models/scene_flow_motion_field.py:216, video_base.py:52)
-        idx = vis_index(batch_idx, n_steps, opt.vis_at_start)
-        if every <= 0 or epoch % every != 0 or idx > limit:
+        if every <= 0 or epoch % every != 0:
             return
+        if phase == "train":
+            # reference gates the LAST vis_batches_train batches of the
+            # epoch unless --vis_at_start (scene_flow_motion_field.py:216);
+            # n_steps = the epoch's true batch count from the Trainer
+            if n_steps is None:
+                n_steps = opt.epoch_batches or len(dataset_train)
+            idx = vis_index(batch_idx, n_steps, opt.vis_at_start)
+            if idx > opt.vis_batches_train:
+                return
+            # windowed-warp batches the trainer escalated to the full-height
+            # warp must visualize through the same exact path
+            pred = model.vis_on_batch(
+                dev_batch, warp_window=host_batch.get("warp_window"))
+        else:
+            # vali always counts from the START (video_base.py:90)
+            idx = batch_idx
+            if batch_idx >= opt.vis_batches_vali:
+                return
+            pred = {k: np.asarray(v) for k, v in
+                    (model.last_pred or {}).items()}
         outdir = join(opt.full_logdir, "visualize",
                       f"epoch{epoch:04d}_{phase}")
         os.makedirs(outdir, exist_ok=True)
-        if phase == "train":
-            pred = model.vis_on_batch(dev_batch)
-        else:
-            pred = {k: np.asarray(v) for k, v in
-                    (model.last_pred or {}).items()}
         output = model.pack_output(pred, dev_batch)
-        # reference keys the visualizer on the end-relative index but the
-        # npz dump on the absolute batch index (scene_flow_motion_field.py:
-        # 216-225)
+        # reference keys the visualizer on the gate index but the npz dump
+        # on the absolute batch index (scene_flow_motion_field.py:216-225,
+        # video_base.py:98-100)
         visualizer.visualize(output, idx + 1000 * epoch, outdir)
         np.savez(join(outdir, "rank0000_batch%04d" % batch_idx), **output)
 
