@@ -39,6 +39,73 @@ def _conv(features, kernel, stride=1, padding=0, groups=1, use_bias=True, name=N
     )
 
 
+class _DenseGroupedConv(nn.Module):
+    """Grouped conv computed with block-diagonal-densified groups.
+
+    The MXU contracts 128 lanes per pass; a grouped conv with few channels
+    per group (ResNeXt-32x8d layer1/2: 8/16) runs at <2% MXU utilization and
+    forces 5-D tiled layouts (``bf16[B,H,W,32,8]{4,0,3,2,1:T(2,128)(2,1)}``)
+    with heavy relayout copies on both sides. Measured on v5e via
+    scripts/step_profile.py: 0.2-1.6 TF/s for the grouped forms vs 120-190
+    TF/s for dense convs in the same step.
+
+    ``merge`` adjacent groups are fused into one dense group whose kernel is
+    block-diagonal (``merge == groups`` -> one fully dense conv). This
+    multiplies model FLOPs by ``merge`` but widens each contraction to
+    ``merge * in_ch/groups`` lanes — a large net win while the per-group
+    width is small relative to the MXU.
+
+    Exact: the extra contraction terms are multiplied by structural zeros,
+    so forward, input-grad, and (after the mask extracts the diagonal
+    blocks) kernel-grad all match the grouped conv exactly.
+
+    The parameter keeps nn.Conv's grouped ``kernel`` shape
+    ``[kh, kw, in_ch // groups, features]`` and initializer, so checkpoint
+    porting (models/torch_port.py) and fresh-init parity are unchanged.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    padding: int
+    groups: int
+    merge: int  # adjacent groups per dense block; must divide `groups`
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        g = self.groups
+        f = self.merge
+        assert g % f == 0, (g, f)
+        cig = cin // g
+        cog = self.features // g
+        kh = kw = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cig, self.features),
+        )
+        w = w.astype(x.dtype)
+        # [f*cig, features]: within each merged group the kernel is
+        # block-diagonal over the f original groups; the pattern repeats
+        # for every merged group along the feature axis.
+        mask = jnp.tile(
+            jnp.kron(jnp.eye(f), jnp.ones((cig, cog))), (1, g // f)
+        ).astype(w.dtype)
+        dense = jnp.broadcast_to(
+            w[:, :, None, :, :], (kh, kw, f, cig, self.features)
+        ).reshape(kh, kw, f * cig, self.features)
+        dense = dense * mask[None, None]
+        return jax.lax.conv_general_dilated(
+            x,
+            dense,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g // f,
+        )
+
+
 def _bn(name):
     return nn.BatchNorm(use_running_average=True, epsilon=1e-5, name=name)
 
@@ -51,6 +118,14 @@ class Bottleneck(nn.Module):
     groups: int = 32
     base_width: int = 8
     expansion: int = 4
+    # densify grouped convs whose per-group width is <= this (see
+    # _DenseGroupedConv; 16 covers ResNeXt101-32x8d stages 1-2, where the
+    # grouped form is MXU-starved; stages 3-4 (32/64-wide groups) stay
+    # grouped — their measured dense-equivalent time is a wash or worse)
+    dense_group_width: int = 16
+    # for wider groups, merge adjacent groups into block-diagonal dense
+    # groups of at least this many input lanes (0 = keep grouped)
+    merge_group_width: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -60,8 +135,21 @@ class Bottleneck(nn.Module):
 
         out = _conv(width, 1, use_bias=False, name="conv1")(x)
         out = nn.relu(_bn("bn1")(out))
-        out = _conv(width, 3, stride=self.stride, padding=1, groups=self.groups,
-                    use_bias=False, name="conv2")(out)
+        cig = width // self.groups
+        if cig <= self.dense_group_width:
+            merge = self.groups
+        elif self.merge_group_width > cig:
+            merge = min(self.groups, self.merge_group_width // cig)
+        else:
+            merge = 1
+        if merge > 1:
+            conv2 = _DenseGroupedConv(
+                features=width, kernel=3, stride=self.stride, padding=1,
+                groups=self.groups, merge=merge, name="conv2")
+        else:
+            conv2 = _conv(width, 3, stride=self.stride, padding=1,
+                          groups=self.groups, use_bias=False, name="conv2")
+        out = conv2(out)
         out = nn.relu(_bn("bn2")(out))
         out = _conv(out_feats, 1, use_bias=False, name="conv3")(out)
         out = _bn("bn3")(out)
@@ -83,6 +171,8 @@ class ResNeXt101Backbone(nn.Module):
     """
 
     layers: Sequence[int] = (3, 4, 23, 3)
+    dense_group_width: int = 16
+    merge_group_width: int = 0
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -99,6 +189,8 @@ class ResNeXt101Backbone(nn.Module):
                 x = Bottleneck(
                     planes=p,
                     stride=s if bi == 0 else 1,
+                    dense_group_width=self.dense_group_width,
+                    merge_group_width=self.merge_group_width,
                     name=f"{prefix}__{bi}",
                 )(x)
             feats.append(x)
@@ -158,6 +250,10 @@ class MidasNet(nn.Module):
     resize: Optional[Tuple[int, int]] = None
     mask_branch: bool = False
     freeze_backbone: bool = False
+    # per-group width threshold for densifying the backbone's grouped convs
+    # (0 disables; see _DenseGroupedConv)
+    dense_group_width: int = 16
+    merge_group_width: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -170,7 +266,10 @@ class MidasNet(nn.Module):
         if self.resize is not None:
             x = resize_bicubic(x, self.resize, align_corners=True)
 
-        l1, l2, l3, l4 = ResNeXt101Backbone(name="pretrained")(x)
+        l1, l2, l3, l4 = ResNeXt101Backbone(
+            dense_group_width=self.dense_group_width,
+            merge_group_width=self.merge_group_width,
+            name="pretrained")(x)
         if self.freeze_backbone:
             l1, l2, l3, l4 = jax.lax.stop_gradient((l1, l2, l3, l4))
 

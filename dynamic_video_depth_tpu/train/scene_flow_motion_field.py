@@ -75,6 +75,13 @@ class Model:
           help="log per-net gradient norms / max-abs each step (device "
                "scalars on the packed async fetch; the functional analog "
                "of the reference's grad-hook debug utilities)")
+        a("--dense_group_width", type=int, default=16,
+          help="densify ResNeXt grouped convs whose per-group width is <= "
+               "this as block-diagonal dense convs (exact; groups-x more "
+               "FLOPs at dense MXU rates). 0 keeps every conv grouped.")
+        a("--merge_group_width", type=int, default=0,
+          help="merge wider ResNeXt conv groups into block-diagonal dense "
+               "groups of at least this many input lanes (0 = off)")
         return parser, set()
 
     metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
@@ -124,6 +131,8 @@ class Model:
             use_motion_seg=opt.use_motion_seg,
             compute_dtype=compute_dtype,
             remat_depth=getattr(opt, "remat_depth", False),
+            dense_group_width=getattr(opt, "dense_group_width", 16),
+            merge_group_width=getattr(opt, "merge_group_width", 0),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
         )
         self.step = SceneFlowMotionFieldStep(self.cfg)

@@ -77,6 +77,13 @@ class TrainStepConfig:
     use_motion_seg: bool = False
     # numerics: bf16 conv compute for the depth nets (params stay f32)
     compute_dtype: str = "bfloat16"
+    # densify ResNeXt grouped convs whose per-group width is <= this
+    # (block-diagonal dense kernel; exact, trades `groups`x model FLOPs for
+    # dense-conv MXU rates — see models/midas.py _DenseGroupedConv)
+    dense_group_width: int = 16
+    # for wider groups, merge adjacent groups into >=this-many-lane dense
+    # blocks (0 = keep grouped)
+    merge_group_width: int = 0
     # rematerialize the depth-net forward in the backward pass: trades ~1/3
     # more FLOPs for O(activations) less HBM — enables resolutions well past
     # the reference's <=384-wide protocol on a single chip
@@ -156,7 +163,10 @@ class SceneFlowMotionFieldStep:
             self.net_depth = TinyDepthNet()
         elif cfg.midas:
             self.net_depth = MidasNet(
-                non_negative=True, normalize_input=True, resize=cfg.midas_resize
+                non_negative=True, normalize_input=True,
+                resize=cfg.midas_resize,
+                dense_group_width=cfg.dense_group_width,
+                merge_group_width=cfg.merge_group_width,
             )
         else:
             self.net_depth = HourglassModelEmbed(

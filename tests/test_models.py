@@ -207,3 +207,52 @@ def test_sceneflow_field_shapes(rng):
     n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
     # embed: xyz 99 + t 33 = 132 inputs; 132*256 + 4*256*256 + 256*3 + biases
     assert n_params > 290_000
+
+
+@pytest.mark.parametrize("widths", [(16, 0), (0, 128)],
+                         ids=["full-dense<=16", "merged-128-lane"])
+def test_dense_grouped_conv_matches_grouped(rng, widths):
+    """The block-diagonal densified grouped conv (models/midas.py
+    _DenseGroupedConv, used for the ResNeXt backbone on TPU) is numerically
+    equivalent to the grouped form: identical param tree, matching forward
+    and parameter/input gradients. Covers full densification (stages 1-2
+    default) and merged 128-lane blocks (A/B option for stages 3-4)."""
+    from dynamic_video_depth_tpu.models.midas import ResNeXt101Backbone
+
+    dgw, mgw = widths
+    # 2 blocks per stage keeps it fast while covering both densified widths
+    # (8, 16) and both grouped widths (32, 64)
+    dense = ResNeXt101Backbone(layers=(2, 2, 2, 2), dense_group_width=dgw,
+                               merge_group_width=mgw)
+    grouped = ResNeXt101Backbone(layers=(2, 2, 2, 2), dense_group_width=0)
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    variables = grouped.init(jax.random.PRNGKey(3), x)
+    v2 = dense.init(jax.random.PRNGKey(3), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+
+    def loss(net, variables, x):
+        feats = net.apply(variables, x)
+        return sum(jnp.sum(f ** 2) for f in feats), feats
+
+    (l_g, f_g), grads_g = jax.value_and_grad(
+        lambda v, x: loss(grouped, v, x), argnums=(0, 1), has_aux=True
+    )(variables, x)
+    (l_d, f_d), grads_d = jax.value_and_grad(
+        lambda v, x: loss(dense, v, x), argnums=(0, 1), has_aux=True
+    )(variables, x)
+
+    for a, b in zip(f_g, f_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l_g), float(l_d), rtol=1e-6)
+    flat_g = jax.tree_util.tree_leaves_with_path(grads_g)
+    flat_d = jax.tree_util.tree_leaves_with_path(grads_d)
+    assert len(flat_g) == len(flat_d)
+    for (pg, g), (pd, d) in zip(flat_g, flat_d):
+        assert pg == pd
+        scale = max(1.0, float(np.max(np.abs(g))))
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(d), rtol=1e-5, atol=1e-5 * scale,
+            err_msg=jax.tree_util.keystr(pg))
