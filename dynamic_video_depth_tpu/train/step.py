@@ -83,7 +83,7 @@ class TrainStepConfig:
     dense_group_width: int = 16
     # for wider groups, merge adjacent groups into >=this-many-lane dense
     # blocks (0 = keep grouped)
-    merge_group_width: int = 0
+    merge_group_width: int = 128
     # rematerialize the depth-net forward in the backward pass: trades ~1/3
     # more FLOPs for O(activations) less HBM — enables resolutions well past
     # the reference's <=384-wide protocol on a single chip
@@ -274,22 +274,27 @@ class SceneFlowMotionFieldStep:
             )
             sf = self.net_sf.apply({"params": params_sf}, x)
         elif self._sf_use_pallas():
-            # Fused Pallas path: the embedding stays in XLA (elementwise,
-            # fuses into one pass), the whole dense chain runs in one
-            # VMEM-resident kernel (ops/pallas/mlp_kernel.py).
-            from ..ops.embedding import sceneflow_features
-            from ..ops.pallas import fused_mlp
+            # Fused Pallas path: Fourier embedding AND the dense chain run
+            # in one VMEM-resident kernel (ops/pallas/mlp_kernel.py::
+            # fused_mlp_embed) — the embedding is linearized as a constant
+            # frequency-matrix dot, so the kernel reads only the raw
+            # [N, 3] points + [N, 1] times per field evaluation.
+            from ..ops.embedding import sceneflow_embed_consts
+            from ..ops.pallas import fused_mlp_embed
 
             b, h, w, _ = pts.shape
-            feat = sceneflow_features(
-                pts, ts if self.cfg.time_dependent else None,
+            consts = sceneflow_embed_consts(
                 self.cfg.n_freq_xyz, self.cfg.n_freq_t,
-                self.cfg.time_dependent,
-            ).reshape(b * h * w, -1)
+                self.cfg.time_dependent)
+            fx, ft, raw_m, cos_m, sin_m = (jnp.asarray(c) for c in consts)
+            n = b * h * w
+            ts_flat = (ts.reshape(n, 1) if self.cfg.time_dependent
+                       else jnp.zeros((n, 1), pts.dtype))
             names = sorted(params_sf.keys(), key=lambda s: int(s.split("__")[1]))
-            ws = tuple(params_sf[n]["kernel"] for n in names)
-            bs = tuple(params_sf[n]["bias"] for n in names)
-            sf = fused_mlp(feat, ws, bs).reshape(b, h, w, -1)
+            ws = tuple(params_sf[n2]["kernel"] for n2 in names)
+            bs = tuple(params_sf[n2]["bias"] for n2 in names)
+            sf = fused_mlp_embed(pts.reshape(n, 3), ts_flat, fx, ft, raw_m,
+                                 cos_m, sin_m, ws, bs).reshape(b, h, w, -1)
         elif self.cfg.time_dependent:
             sf = self.net_sf.apply({"params": params_sf}, pts, ts)
         else:

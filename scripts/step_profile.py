@@ -38,7 +38,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def capture(outdir: str, iters: int, wide: bool = False):
+def capture(outdir: str, iters: int, wide: bool = False,
+            dense_group_width: int = 16, merge_group_width: int = 128):
     import jax
     import numpy as np
 
@@ -62,6 +63,8 @@ def capture(outdir: str, iters: int, wide: bool = False):
                         interp_steps=5),
         compute_dtype="bfloat16",
         remat_depth=wide,
+        dense_group_width=dense_group_width,
+        merge_group_width=merge_group_width,
     )
     step = SceneFlowMotionFieldStep(cfg)
     rng = np.random.RandomState(0)
@@ -223,11 +226,14 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--wide", action="store_true")
     ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument("--dense-group-width", type=int, default=16)
+    ap.add_argument("--merge-group-width", type=int, default=128)
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--top", type=int, default=15)
     a = ap.parse_args()
     if not a.analyze_only:
-        capture(a.out, a.iters, a.wide)
+        capture(a.out, a.iters, a.wide,
+                a.dense_group_width, a.merge_group_width)
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)

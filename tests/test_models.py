@@ -224,7 +224,8 @@ def test_dense_grouped_conv_matches_grouped(rng, widths):
     # (8, 16) and both grouped widths (32, 64)
     dense = ResNeXt101Backbone(layers=(2, 2, 2, 2), dense_group_width=dgw,
                                merge_group_width=mgw)
-    grouped = ResNeXt101Backbone(layers=(2, 2, 2, 2), dense_group_width=0)
+    grouped = ResNeXt101Backbone(layers=(2, 2, 2, 2), dense_group_width=0,
+                                 merge_group_width=0)
 
     x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
     variables = grouped.init(jax.random.PRNGKey(3), x)
