@@ -30,6 +30,11 @@ _CHILD = """
 import os, sys
 sys.path.insert(0, {repo!r})
 import numpy as np, jax
+if os.environ.get("DVD_PLATFORM"):
+    # same forced-platform escape hatch as train.py/test.py: sitecustomize
+    # pins the axon TPU platform and ignores JAX_PLATFORMS, so tests (and
+    # hosts without a live tunnel) must pin via jax.config before first use
+    jax.config.update("jax_platforms", os.environ["DVD_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR",
                                  os.path.expanduser("~/.cache/jax_dvd")))
