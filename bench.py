@@ -27,11 +27,56 @@ import numpy as np
 REFERENCE_STEP_MS = 360.0  # estimate; the reference publishes no number
 
 
+def _wait_for_backend(deadline_s: float = None, probe_s: float = 120.0):
+    """Block until the TPU backend initializes, retrying through transient
+    tunnel outages (observed: backend init raising UNAVAILABLE, or hanging
+    indefinitely, for tens of minutes). Each probe runs in a child process
+    so a HANGING init can be killed and retried; the parent only touches
+    jax after a probe succeeds. Returns silently on success; raises after
+    ``deadline_s`` so a dead tunnel still fails loudly."""
+    import os
+    import subprocess
+    import sys
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("DVD_BENCH_BACKEND_DEADLINE_S",
+                                          900.0))
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "if os.environ.get('DVD_PLATFORM'):\n"
+                 "    jax.config.update('jax_platforms',"
+                 " os.environ['DVD_PLATFORM'])\n"
+                 "assert jax.devices()"],
+                env=dict(os.environ), timeout=probe_s,
+                capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend up after {attempt} probes "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+                return
+            err = proc.stderr.strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = f"init hang >{probe_s:.0f}s"
+        waited = time.time() - t0
+        if waited > deadline_s:
+            raise RuntimeError(
+                f"TPU backend unavailable after {waited:.0f}s: {err}")
+        print(f"# backend probe {attempt} failed ({err}); retrying",
+              flush=True)
+        time.sleep(min(30.0, probe_s / 4))
+
+
 def main():
     import argparse
     import os
-
-    import jax
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--wide", action="store_true",
@@ -39,6 +84,9 @@ def main():
                          "reference's <=384-wide protocol) with "
                          "--remat_depth; reports step ms + device memory")
     args = ap.parse_args()
+
+    _wait_for_backend()
+    import jax
 
     # Persistent compilation cache: per-(gap, warm) step variants compile
     # once per machine, not once per process (remote compiles are minutes).

@@ -353,3 +353,30 @@ def test_trace_if_writes_profile(tmp_path):
     with trace_if(str(tmp_path / "prof2"), False):
         pass
     assert not (tmp_path / "prof2").exists()
+
+
+def test_bench_wait_for_backend(monkeypatch):
+    """bench.py's backend-outage guard (the axon tunnel was observed down
+    for tens of minutes mid-round): success returns, a dead backend raises
+    after the deadline instead of hanging the driver's bench run."""
+    import importlib.util
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # success: the probe child honors DVD_PLATFORM (conftest pins cpu)
+    monkeypatch.setenv("DVD_PLATFORM", "cpu")
+    bench._wait_for_backend(deadline_s=60.0, probe_s=60.0)
+
+    # outage: every probe hangs -> bounded failure, not an infinite wait
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=k["timeout"])
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="unavailable"):
+        bench._wait_for_backend(deadline_s=0.5, probe_s=1.0)
