@@ -178,3 +178,30 @@ def test_fused_embed_path_matches_flax_sceneflow_net(rng):
                           ws, bs, 64).reshape(b, h, w, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("td", [True, False], ids=["time-dep", "xyz-only"])
+def test_embed_consts_linearization_sweep(rng, td):
+    """Pure-XLA identity sweep (no kernel): for every (n_freq_xyz,
+    n_freq_t) in a grid, ``raw*ang + cos_m*cos(ang) + sin_m*sin(ang)`` with
+    ``ang = pts@f_xyz + ts@f_t`` must equal ``sceneflow_features``
+    column-for-column — pinning the channel ORDER the fused kernel bakes
+    in (reference layout: [t_raw, t_cos..., t_sin..., xyz_raw, xyz_cos...,
+    xyz_sin...], networks/sceneflow_field.py:28-38 via blocks.py:19-34)."""
+    from dynamic_video_depth_tpu.ops.embedding import sceneflow_embed_consts
+
+    pts = jnp.asarray(rng.randn(37, 3).astype(np.float32))
+    ts = jnp.asarray(rng.rand(37, 1).astype(np.float32))
+    for nx in (0, 1, 2, 5, 16):
+        for nt in (0, 1, 3, 16):
+            ref = sceneflow_features(pts, ts if td else None, nx, nt, td)
+            fx, ft, raw_m, cos_m, sin_m = (
+                jnp.asarray(c) for c in sceneflow_embed_consts(nx, nt, td))
+            ang = pts @ fx + (ts if td else jnp.zeros_like(ts)) @ ft
+            feat = raw_m * ang + cos_m * jnp.cos(ang) + sin_m * jnp.sin(ang)
+            # atol: the <=4-ulp linspace frequency divergence (see
+            # _linspace_f32) scales by |x| through the angle and lands in
+            # sin/cos as ~1e-5 abs at n_freq=16
+            np.testing.assert_allclose(
+                np.asarray(feat), np.asarray(ref), rtol=1e-6, atol=2e-5,
+                err_msg=f"nx={nx} nt={nt} td={td}")
