@@ -84,6 +84,16 @@ class Model:
                "groups of at least this many input lanes (0 = off; default "
                "128 fills the MXU's 128-lane contraction — measured 1.20x "
                "step win over grouped stages 3-4 on v5e)")
+        for knob, what in (("sf", "fused scene-flow MLP (embedding "
+                                  "in-kernel)"),
+                           ("warp", "fused backward warp"),
+                           ("loss", "fused projection+loss kernel")):
+            a(f"--use_pallas_{knob}", choices=("auto", "on", "off"),
+              default="auto",
+              help=f"Pallas {what}: auto = on for TPU backends "
+                   "(loss: also resolution-gated), off = XLA fallback — "
+                   "the escape hatch if a kernel misbehaves at an "
+                   "untested configuration")
         return parser, set()
 
     metrics = ["flow_loss_1_2", "loss", "disp_loss_1_2", "data_time",
@@ -136,6 +146,9 @@ class Model:
             dense_group_width=getattr(opt, "dense_group_width", 16),
             merge_group_width=getattr(opt, "merge_group_width", 128),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
+            use_pallas_sf=getattr(opt, "use_pallas_sf", "auto"),
+            use_pallas_warp=getattr(opt, "use_pallas_warp", "auto"),
+            use_pallas_loss=getattr(opt, "use_pallas_loss", "auto"),
         )
         self.step = SceneFlowMotionFieldStep(self.cfg)
         self.state = None

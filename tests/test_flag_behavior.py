@@ -358,3 +358,27 @@ def test_force_overwrite_guard_and_vali_at_start(workdir):
         rows2 = list(csv.DictReader(f))
     assert len(rows2) == 1  # fresh run, not appended to the old history
     assert old_csv_len == 2
+
+
+def test_use_pallas_cli_toggles_reach_step_config():
+    """--use_pallas_{sf,warp,loss} (the escape hatch if a fused kernel
+    misbehaves at an untested configuration) must land in the jitted
+    step's config and flip the dispatch predicates."""
+    from dynamic_video_depth_tpu.runtime.config import parse
+    from dynamic_video_depth_tpu.train.scene_flow_motion_field import Model
+
+    argv = ["--net", "scene_flow_motion_field",
+            "--dataset", "davis_sequence", "--track_id", "dog",
+            "--lr", "1e-4", "--scene_lr_mul", "10", "--depth_net", "tiny",
+            "--use_pallas_sf", "off", "--use_pallas_warp", "on",
+            "--use_pallas_loss", "off"]
+    opt, _ = parse(argv)
+    model = Model(opt)
+    assert model.cfg.use_pallas_sf == "off"
+    assert model.cfg.use_pallas_warp == "on"
+    assert model.cfg.use_pallas_loss == "off"
+    assert not model.step._sf_use_pallas()
+    assert not model.step._loss_use_pallas(10**9)
+    # default is auto = backend-gated (cpu here -> off for sf)
+    opt2, _ = parse(argv[:10])
+    assert Model(opt2).cfg.use_pallas_sf == "auto"
