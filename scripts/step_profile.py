@@ -39,7 +39,8 @@ sys.path.insert(0, REPO)
 
 
 def capture(outdir: str, iters: int, wide: bool = False,
-            dense_group_width: int = 16, merge_group_width: int = 128):
+            dense_group_width: int = 16, merge_group_width: int = 128,
+            pallas: str = "auto"):
     import jax
     import numpy as np
 
@@ -65,6 +66,7 @@ def capture(outdir: str, iters: int, wide: bool = False,
         remat_depth=wide,
         dense_group_width=dense_group_width,
         merge_group_width=merge_group_width,
+        use_pallas_sf=pallas, use_pallas_warp=pallas, use_pallas_loss=pallas,
     )
     step = SceneFlowMotionFieldStep(cfg)
     rng = np.random.RandomState(0)
@@ -228,12 +230,15 @@ def main():
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--dense-group-width", type=int, default=16)
     ap.add_argument("--merge-group-width", type=int, default=128)
+    ap.add_argument("--pallas", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="force the fused kernels on/off for hardware A/Bs")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--top", type=int, default=15)
     a = ap.parse_args()
     if not a.analyze_only:
         capture(a.out, a.iters, a.wide,
-                a.dense_group_width, a.merge_group_width)
+                a.dense_group_width, a.merge_group_width, a.pallas)
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)
