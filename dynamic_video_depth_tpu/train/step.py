@@ -305,19 +305,24 @@ class SceneFlowMotionFieldStep:
         """Euler integration across the frame gap (reference:
         forward_sf_net_multi_step, models/scene_flow_motion_field.py:360-367).
         ``steps`` is static; the unrolled chain is a sequence of MXU matmuls
-        XLA pipelines back-to-back. Also returns the first evaluation — the
-        acceleration regularizer queries the field at exactly (p1, t1)
-        (reference recomputes it, :329; the expressions are identical)."""
+        XLA pipelines back-to-back. Also returns the first TWO evaluations —
+        the acceleration regularizer queries the field at exactly (p1, t1)
+        and (p1 + sf0, t1 + dt) (reference recomputes both,
+        models/scene_flow_motion_field.py:329-341; the expressions are
+        identical to Euler evals 1 and 2, so at steps >= 2 the regularizer
+        costs zero extra field evaluations)."""
         sf_acc = jnp.zeros_like(pts)
-        first_sf = None
+        evals = []
         for _ in range(steps):
             sf = self._apply_sf(params_sf, pts, ts)
-            if first_sf is None:
-                first_sf = sf
+            if len(evals) < 2:
+                evals.append(sf)
             sf_acc = sf_acc + sf
             pts = pts + sf
             ts = ts + time_step
-        return sf_acc, first_sf
+        first_sf = evals[0] if evals else None
+        second_sf = evals[1] if len(evals) > 1 else None
+        return sf_acc, first_sf, second_sf
 
     # ------------------------------------------------------------ train step
 
@@ -368,7 +373,7 @@ class SceneFlowMotionFieldStep:
         global_p1 = stage["global_p1"]
 
         time_step = batch["time_step"]
-        sf_1_2, first_sf = self._sf_multi_step(
+        sf_1_2, first_sf, second_sf = self._sf_multi_step(
             params_sf, global_p1, batch["time_stamp_1"], time_step, steps
         )
         if self.cfg.use_motion_seg:
@@ -379,15 +384,20 @@ class SceneFlowMotionFieldStep:
         pred["sf_by_dep_1_2"] = stage["sf_by_depth"]
         pred["global_p1"] = global_p1
         pred["_first_sf"] = first_sf
+        pred["_second_sf"] = second_sf
         return pred
 
-    def _acc_reg(self, params_sf, global_p1, ts, time_step, sf0=None):
+    def _acc_reg(self, params_sf, global_p1, ts, time_step, sf0=None,
+                 sf1=None):
         """(reference: _opt_reg, models/scene_flow_motion_field.py:326-344).
-        ``sf0`` (the field at (p1, t1)) is reused from the Euler integration
-        when available instead of re-evaluating."""
+        ``sf0`` (the field at (p1, t1)) and ``sf1`` (at (p1 + sf0, t1 + dt))
+        are reused from the Euler integration when available instead of
+        re-evaluating — evals 1 and 2 of the chain are the exact same
+        expressions, so at steps >= 2 the regularizer is free."""
         if sf0 is None:
             sf0 = self._apply_sf(params_sf, global_p1, ts)
-        sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
+        if sf1 is None:
+            sf1 = self._apply_sf(params_sf, global_p1 + sf0, ts + time_step)
         return self.cfg.loss.acc_mul * jnp.mean(jnp.abs(sf1 - sf0))
 
     # Interleaved hardware A/Bs (RESULTS.md, round 3) put the fused
@@ -431,7 +441,7 @@ class SceneFlowMotionFieldStep:
         warped3 = (warp_fn or backward_warp)(p2_cam2, flow)
 
         global_p1 = camera_to_world(unproject_camera(depth_1, cam_1), cam_1)
-        sf_1_2, first_sf = self._sf_multi_step(
+        sf_1_2, first_sf, second_sf = self._sf_multi_step(
             params_sf, global_p1, batch["time_stamp_1"],
             batch["time_step"], steps,
         )
@@ -455,14 +465,15 @@ class SceneFlowMotionFieldStep:
             "disp_loss_1_2": disp_loss,
             "sf_loss": sf_loss,
         }
-        return main, logs, global_p1, first_sf
+        return main, logs, global_p1, first_sf, second_sf
 
     def loss_and_logs(self, params_depth, params_sf, stats_depth, batch,
                       steps: int, warm: bool, full_warp: bool = False):
         cfg = self.cfg.loss
         pixels = batch["img_1"].shape[1] * batch["img_1"].shape[2]
         if self._loss_use_pallas(pixels):
-            main, logs, global_p1, first_sf = self._fused_loss_forward(
+            (main, logs, global_p1, first_sf,
+             second_sf) = self._fused_loss_forward(
                 params_depth, params_sf, stats_depth, batch, steps, warm,
                 full_warp,
             )
@@ -471,6 +482,7 @@ class SceneFlowMotionFieldStep:
             pred = self._forward(params_depth, params_sf, stats_depth,
                                  batch, steps, full_warp)
             first_sf = pred.pop("_first_sf", None)
+            second_sf = pred.pop("_second_sf", None)
             main, logs = consistency_losses(
                 pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
             )
@@ -482,7 +494,7 @@ class SceneFlowMotionFieldStep:
         if use_reg:
             reg = self._acc_reg(
                 params_sf, pred["global_p1"], batch["time_stamp_1"],
-                batch["time_step"], sf0=first_sf,
+                batch["time_step"], sf0=first_sf, sf1=second_sf,
             )
             total = total + reg
             logs["acc_reg"] = reg
@@ -596,6 +608,7 @@ class SceneFlowMotionFieldStep:
         pred = self._forward(state.params_depth, state.params_sf,
                              state.stats_depth, batch, steps, full_warp)
         pred.pop("_first_sf", None)
+        pred.pop("_second_sf", None)
         # per-pixel scene-flow residual map the reference packs for analysis
         # (reference: models/scene_flow_motion_field.py:306 sf_loss_pp)
         pred["sf_loss_pp"] = jnp.sum(
@@ -615,7 +628,7 @@ class SceneFlowMotionFieldStep:
         )
         cam_1 = Camera(batch["R_1"], batch["t_1"], batch["K"], batch["K_inv"])
         global_p1 = unproject(depth, cam_1)
-        sf_1_2, _ = self._sf_multi_step(
+        sf_1_2, _, _ = self._sf_multi_step(
             state.params_sf, global_p1, batch["time_stamp_1"],
             batch["time_step"], steps=1,
         )

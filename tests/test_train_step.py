@@ -206,3 +206,46 @@ def test_grad_stats_logging(track_dir):
     np.testing.assert_allclose(
         float(logs4["grad_norm_depth"]),
         float(optax.global_norm(grads["net_depth"])), rtol=1e-5)
+
+
+def test_acc_reg_reuses_second_euler_eval(track_dir):
+    """At steps >= 2 the acceleration regularizer's second field query
+    sf(p1 + sf0, t1 + dt) is the exact expression of Euler eval 2
+    (reference recomputes it, models/scene_flow_motion_field.py:329-341);
+    the step reuses it, saving one full MLP fwd+bwd per step. Pin that the
+    reuse is exact: loss, logs and grads match a forced recompute."""
+    ds = get_dataset("davis_sequence")(make_opt(track_dir), mode="train")
+    step = SceneFlowMotionFieldStep(small_cfg())
+    batches = [b for b in (ds[i] for i in range(len(ds)))
+               if int(np.asarray(b["steps"]).reshape(-1)[0]) == 2]
+    batch = device_batch(batches[0])
+    batch.pop("steps", None)
+    batch.pop("warp_window", None)
+    state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+
+    def loss_with(reuse):
+        def loss_fn(pd, ps):
+            orig = step._sf_multi_step
+            if not reuse:
+                # drop the cached second eval -> _acc_reg recomputes sf1
+                def no2(*a, **kw):
+                    acc, sf0, _ = orig(*a, **kw)
+                    return acc, sf0, None
+                step._sf_multi_step = no2
+            try:
+                return step.loss_and_logs(pd, ps, state.stats_depth, batch,
+                                          steps=2, warm=False)
+            finally:
+                step._sf_multi_step = orig
+        return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params_depth, state.params_sf)
+
+    (l_re, logs_re), g_re = loss_with(True)
+    (l_rc, logs_rc), g_rc = loss_with(False)
+    assert float(logs_re["acc_reg"]) > 0  # the regularizer is live
+    np.testing.assert_array_equal(np.asarray(l_re), np.asarray(l_rc))
+    np.testing.assert_array_equal(np.asarray(logs_re["acc_reg"]),
+                                  np.asarray(logs_rc["acc_reg"]))
+    for a, b in zip(jax.tree.leaves(g_re), jax.tree.leaves(g_rc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
