@@ -15,13 +15,19 @@
 
 from .correlation import fused_lookup_correlation
 from .loss_kernel import fused_projection_loss, pack_camera
-from .mlp_kernel import fused_mlp, fused_mlp_embed, fused_mlp_reference
+from .mlp_kernel import (
+    fused_mlp,
+    fused_mlp_embed,
+    fused_mlp_embed_chain,
+    fused_mlp_reference,
+)
 from .warp_kernel import fused_backward_warp
 
 __all__ = [
     "fused_lookup_correlation",
     "fused_mlp",
     "fused_mlp_embed",
+    "fused_mlp_embed_chain",
     "fused_mlp_reference",
     "fused_backward_warp",
     "fused_projection_loss",

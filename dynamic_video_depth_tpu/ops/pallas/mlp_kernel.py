@@ -422,3 +422,322 @@ def _fused_mlp_embed_bwd(tile, residuals, g):
 
 
 fused_mlp_embed.defvjp(_fused_mlp_embed_fwd, _fused_mlp_embed_bwd)
+
+# ---------------------------------------------------------------------------
+# Euler-chain megakernel: the WHOLE multi-step scene-flow integration
+# (reference: forward_sf_net_multi_step, models/scene_flow_motion_field.py:
+# 360-367) in one kernel launch.
+#
+# The train step evaluates the field `steps` times, advecting the points by
+# each step's flow. Launched per-eval (fused_mlp_embed), every Euler step
+# still costs two kernel dispatches (fwd + VJP) plus the [N, 3] point
+# round-trips through HBM between them. This kernel keeps one point tile
+# resident in VMEM across the whole chain: forward stores only the per-step
+# points (K x [tile, 3] registers) and the backward re-materializes each
+# step's activations in the reverse sweep (classic BPTT-with-remat, O(K)
+# extra forwards, O(K * tile * 3) memory instead of O(K * tile * width)).
+#
+# It also returns the first TWO field evaluations, because the acceleration
+# regularizer queries the field at exactly (p0, t0) and (p0 + sf0, t0 + dt)
+# (reference: _opt_reg, models/scene_flow_motion_field.py:326-344) — with
+# `n_evals = max(2, n_steps)` the regularizer's second evaluation joins the
+# chain as a "phantom" step that advects but does not accumulate, so even a
+# gap-1 step gets the regularizer without a separate kernel launch.
+#
+# The in-kernel math is the exact op sequence of the unrolled XLA path
+# (same f32 adds, same divisions) — parity is pinned by
+# tests/test_pallas_chain.py.
+# ---------------------------------------------------------------------------
+
+
+def _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref, w_refs,
+                b_refs, n_layers, sf_div):
+    """One embed+MLP field evaluation; returns sf (already / sf_div)."""
+    ang = _embed_ang(p, t, fx_ref, ft_ref)
+    h = _embed_feat(ang, raw_ref, cos_ref, sin_ref)
+    for i in range(n_layers):
+        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+        h = h + b_refs[i][:]
+        if i < n_layers - 1:
+            h = _leaky(h)
+    return h / sf_div
+
+
+def _fwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
+                      dt_ref, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
+                      *refs):
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    acc_ref, f0_ref, f1_ref = refs[2 * n_layers:2 * n_layers + 3]
+    # advected points p_1..p_{n_evals-1}, stashed for the backward pass so
+    # it needn't re-run the forward sweep (K-1 field evals saved per tile)
+    ps_refs = refs[2 * n_layers + 3:2 * n_layers + 3 + max(n_evals - 1, 0)]
+
+    p = pts_ref[:]
+    t = ts_ref[:]
+    dt = dt_ref[:]
+    acc = jnp.zeros_like(p)
+    if n_evals < 2:
+        f1_ref[:] = jnp.zeros_like(f1_ref)
+    for k in range(n_evals):
+        sf = _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
+                         w_refs, b_refs, n_layers, sf_div)
+        if k == 0:
+            f0_ref[:] = sf.astype(f0_ref.dtype)
+        if k == 1:
+            f1_ref[:] = sf.astype(f1_ref.dtype)
+        if k < n_steps:
+            acc = acc + sf
+        if k + 1 < n_evals:
+            p = p + sf
+            t = t + dt
+            ps_refs[k][:] = p.astype(ps_refs[k].dtype)
+    acc_ref[:] = acc.astype(acc_ref.dtype)
+
+
+def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
+                      dt_ref, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
+                      gacc_ref, g0_ref, g1_ref, *refs):
+    n_ps = max(n_evals - 1, 0)
+    ps_refs = refs[:n_ps]  # p_1..p_{n_evals-1} stashed by the forward
+    refs = refs[n_ps:]
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers:2 * n_layers]
+    dpts_ref = refs[2 * n_layers]
+    dts_ref = refs[2 * n_layers + 1]
+    ddt_ref = refs[2 * n_layers + 2]
+    dw_refs = refs[2 * n_layers + 3:3 * n_layers + 3]
+    db_refs = refs[3 * n_layers + 3:4 * n_layers + 3]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for i in range(n_layers):
+            dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
+            db_refs[i][:] = jnp.zeros_like(db_refs[i])
+
+    # per-step points come stashed from the forward kernel; times are the
+    # cheap affine chain t_k = t + k*dt, recomputed here
+    dt = dt_ref[:]
+    ps = [pts_ref[:]] + [r[:] for r in ps_refs]
+    tss = [ts_ref[:]]
+    for k in range(n_evals - 1):
+        tss.append(tss[k] + dt)
+
+    gacc = gacc_ref[:].astype(jnp.float32)
+    g0 = g0_ref[:].astype(jnp.float32)
+    g1 = g1_ref[:].astype(jnp.float32)
+
+    pbar = jnp.zeros_like(ps[0])   # grad wrt p_{k+1}
+    tbar = jnp.zeros_like(tss[0])  # grad wrt t_{k+1}
+    ddt = jnp.zeros_like(tss[0])
+    for k in reversed(range(n_evals)):
+        advanced = k + 1 < n_evals  # this eval's sf fed p_{k+1}
+        fbar = pbar if advanced else jnp.zeros_like(ps[0])
+        if k < n_steps:
+            fbar = fbar + gacc
+        if k == 0:
+            fbar = fbar + g0
+        if k == 1:
+            fbar = fbar + g1
+        g = fbar / sf_div
+
+        # re-materialize this step's activations at (p_k, t_k)
+        ang = _embed_ang(ps[k], tss[k], fx_ref, ft_ref)
+        feat = _embed_feat(ang, raw_ref, cos_ref, sin_ref)
+        acts = [feat]
+        h = feat
+        zs = []
+        for i in range(n_layers):
+            z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+            z = z + b_refs[i][:]
+            zs.append(z)
+            h = _leaky(z) if i < n_layers - 1 else z
+            if i < n_layers - 1:
+                acts.append(h)
+
+        for i in reversed(range(n_layers)):
+            dz = g if i == n_layers - 1 else g * _leaky_grad(zs[i])
+            dw_refs[i][:] += jnp.dot(
+                acts[i].T, dz, preferred_element_type=jnp.float32
+            ).astype(dw_refs[i].dtype)
+            db_refs[i][:] += jnp.sum(dz, axis=0,
+                                     keepdims=True).astype(db_refs[i].dtype)
+            g = jnp.dot(dz, w_refs[i][:].T, preferred_element_type=jnp.float32)
+
+        dang = (raw_ref[:] - cos_ref[:] * jnp.sin(ang)
+                + sin_ref[:] * jnp.cos(ang)) * g
+        dt_local = jnp.sum(dang * ft_ref[0:1, :], axis=1, keepdims=True)
+        dp_cols = [
+            jnp.sum(dang * fx_ref[c:c + 1, :], axis=1, keepdims=True)
+            for c in range(3)
+        ]
+        dp_local = jnp.concatenate(dp_cols, axis=1)
+
+        # the advance p_{k+1} = p_k + sf_k / t_{k+1} = t_k + dt is identity
+        # in p_k/t_k and feeds dt
+        if advanced:
+            ddt = ddt + tbar
+            pbar = pbar + dp_local
+            tbar = tbar + dt_local
+        else:
+            pbar = dp_local
+            tbar = dt_local
+
+    dpts_ref[:] = pbar.astype(dpts_ref.dtype)
+    dts_ref[:] = tbar.astype(dts_ref.dtype)
+    ddt_ref[:] = ddt.astype(ddt_ref.dtype)
+
+
+def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
+                    biases, n_steps, n_evals, sf_div):
+    """Plain-XLA reference of the chain (the unrolled per-eval path)."""
+    p, t = pts, ts
+    acc = jnp.zeros_like(p)
+    f0 = f1 = None
+    for k in range(n_evals):
+        ang = t * ft + p @ fx
+        feat = raw_m * ang + cos_m * jnp.cos(ang) + sin_m * jnp.sin(ang)
+        sf = fused_mlp_reference(feat, weights, biases) / sf_div
+        if k == 0:
+            f0 = sf
+        if k == 1:
+            f1 = sf
+        if k < n_steps:
+            acc = acc + sf
+        if k + 1 < n_evals:
+            p = p + sf
+            t = t + dt
+    if f1 is None:
+        f1 = jnp.zeros_like(acc)
+    return acc, f0, f1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def fused_mlp_embed_chain(pts: jnp.ndarray, ts: jnp.ndarray, dt: jnp.ndarray,
+                          fx: jnp.ndarray, ft: jnp.ndarray,
+                          raw_m: jnp.ndarray, cos_m: jnp.ndarray,
+                          sin_m: jnp.ndarray,
+                          weights: Tuple[jnp.ndarray, ...],
+                          biases: Tuple[jnp.ndarray, ...],
+                          n_steps: int, n_evals: int, sf_div: float,
+                          tile: int = 512):
+    """Euler-integrate the scene-flow field ``n_evals`` evaluations in ONE
+    kernel: ``pts [N, 3], ts/dt [N, 1] -> (sf_acc, first_sf, second_sf)``,
+    each ``[N, 3]``. The first ``n_steps`` evaluations accumulate into
+    ``sf_acc``; every non-final evaluation advects ``p += sf, t += dt``.
+    ``second_sf`` is zeros when ``n_evals < 2``. ``sf_div`` divides each
+    evaluation (reference: forward_sf_net, scene_flow_motion_field.py:358).
+    """
+    return _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
+                      biases, n_steps, n_evals, sf_div, tile)[0]
+
+
+def _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
+                   n_steps, n_evals, sf_div, tile):
+    n = pts.shape[0]
+    n_layers = len(weights)
+    n_pad = _pad_to(max(n, 1), tile)
+    pad = ((0, n_pad - n), (0, 0))
+    pts_p, ts_p, dt_p = (jnp.pad(a, pad) for a in (pts, ts, dt))
+    biases2d = [b.reshape(1, -1) for b in biases]
+
+    grid = (n_pad // tile,)
+    in_specs = [
+        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + _const_specs(fx, ft, raw_m)
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in biases2d:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_out = 3 + max(n_evals - 1, 0)  # acc, f0, f1, stashed p_1..p_{K-1}
+    outs = pl.pallas_call(
+        functools.partial(_fwd_chain_kernel, n_layers, n_steps, n_evals,
+                          sf_div),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out3,) * n_out,
+        out_shape=tuple(jax.ShapeDtypeStruct((n_pad, 3), pts.dtype)
+                        for _ in range(n_out)),
+    )(pts_p, ts_p, dt_p, fx, ft, raw_m, cos_m, sin_m, *weights, *biases2d)
+    return tuple(o[:n] for o in outs[:3]), tuple(outs[3:])
+
+
+def _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
+               n_steps, n_evals, sf_div, tile):
+    out, ps = _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m,
+                             tuple(weights), tuple(biases), n_steps, n_evals,
+                             sf_div, tile)
+    return out, (pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, tuple(weights),
+                 tuple(biases), ps)
+
+
+def _chain_bwd(n_steps, n_evals, sf_div, tile, residuals, gs):
+    (pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
+     ps) = residuals
+    g_acc, g0, g1 = gs
+    n = pts.shape[0]
+    n_layers = len(weights)
+    n_pad = _pad_to(max(n, 1), tile)
+    pad = ((0, n_pad - n), (0, 0))
+    pts_p, ts_p, dt_p = (jnp.pad(a, pad) for a in (pts, ts, dt))
+    gacc_p, g0_p, g1_p = (jnp.pad(a, pad) for a in (g_acc, g0, g1))
+    biases2d = [b.reshape(1, -1) for b in biases]
+
+    grid = (n_pad // tile,)
+    t3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t1 = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = ([t3, t1, t1] + _const_specs(fx, ft, raw_m) + [t3, t3, t3]
+                + [t3] * len(ps))
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in biases2d:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_pad, 3), pts.dtype),
+        jax.ShapeDtypeStruct((n_pad, 1), ts.dtype),
+        jax.ShapeDtypeStruct((n_pad, 1), dt.dtype),
+    ]
+    out_specs = [t3, t1, t1]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    for b in biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_chain_kernel, n_layers, n_steps, n_evals,
+                          sf_div),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+    )(pts_p, ts_p, dt_p, fx, ft, raw_m, cos_m, sin_m, gacc_p, g0_p, g1_p,
+      *ps, *weights, *biases2d)
+
+    dpts = outs[0][:n]
+    dts = outs[1][:n]
+    ddt = outs[2][:n]
+    dws = tuple(outs[3 + i].astype(weights[i].dtype) for i in range(n_layers))
+    dbs = tuple(
+        outs[3 + n_layers + i][0].astype(biases[i].dtype)
+        for i in range(n_layers)
+    )
+    zero = jax.tree.map(jnp.zeros_like, (fx, ft, raw_m, cos_m, sin_m))
+    return (dpts, dts, ddt) + zero + (dws, dbs)
+
+
+fused_mlp_embed_chain.defvjp(_chain_fwd, _chain_bwd)

@@ -86,6 +86,10 @@ class Model:
                "step win over grouped stages 3-4 on v5e)")
         for knob, what in (("sf", "fused scene-flow MLP (embedding "
                                   "in-kernel)"),
+                           ("sf_chain", "Euler-chain megakernel (whole "
+                                        "multi-step integration + the "
+                                        "acc-reg's second field query in "
+                                        "ONE launch; needs use_pallas_sf)"),
                            ("warp", "fused backward warp"),
                            ("loss", "fused projection+loss kernel")):
             a(f"--use_pallas_{knob}", choices=("auto", "on", "off"),
@@ -147,6 +151,7 @@ class Model:
             merge_group_width=getattr(opt, "merge_group_width", 128),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
             use_pallas_sf=getattr(opt, "use_pallas_sf", "auto"),
+            use_pallas_sf_chain=getattr(opt, "use_pallas_sf_chain", "auto"),
             use_pallas_warp=getattr(opt, "use_pallas_warp", "auto"),
             use_pallas_loss=getattr(opt, "use_pallas_loss", "auto"),
         )

@@ -90,6 +90,12 @@ class TrainStepConfig:
     remat_depth: bool = False
     # fused Pallas scene-flow MLP ('auto' = on TPU backends only)
     use_pallas_sf: str = "auto"
+    # Euler-chain megakernel: run the WHOLE multi-step scene-flow
+    # integration (plus the acceleration regularizer's second field query)
+    # as ONE Pallas kernel instead of one fwd+VJP launch pair per Euler
+    # step ('auto' = whenever the fused MLP is on and the chain has >= 2
+    # evaluations; see ops/pallas/mlp_kernel.py::fused_mlp_embed_chain)
+    use_pallas_sf_chain: str = "auto"
     # fused Pallas backward warp ('auto' = on TPU backends only)
     use_pallas_warp: str = "auto"
     # fused Pallas projection+loss reductions ('auto' = on TPU backends AND
@@ -301,7 +307,14 @@ class SceneFlowMotionFieldStep:
             sf = self.net_sf.apply({"params": params_sf}, pts)
         return sf / self.cfg.loss.sf_mag_div
 
-    def _sf_multi_step(self, params_sf, pts, ts, time_step, steps: int):
+    def _sf_chain_on(self) -> bool:
+        mode = self.cfg.use_pallas_sf_chain
+        if mode == "auto":
+            return True  # follow _sf_use_pallas (checked by the caller)
+        return mode in ("1", "true", "on", "yes")
+
+    def _sf_multi_step(self, params_sf, pts, ts, time_step, steps: int,
+                       want_second: bool = False):
         """Euler integration across the frame gap (reference:
         forward_sf_net_multi_step, models/scene_flow_motion_field.py:360-367).
         ``steps`` is static; the unrolled chain is a sequence of MXU matmuls
@@ -310,7 +323,43 @@ class SceneFlowMotionFieldStep:
         and (p1 + sf0, t1 + dt) (reference recomputes both,
         models/scene_flow_motion_field.py:329-341; the expressions are
         identical to Euler evals 1 and 2, so at steps >= 2 the regularizer
-        costs zero extra field evaluations)."""
+        costs zero extra field evaluations). With ``want_second`` at
+        steps == 1 the regularizer's second query joins the chain as a
+        phantom evaluation (advects, does not accumulate).
+
+        On TPU with the fused MLP on, the whole chain runs as ONE Pallas
+        megakernel (fused_mlp_embed_chain): one launch instead of a
+        fwd+VJP pair per Euler step, points resident in VMEM throughout."""
+        n_evals = max(2, steps) if want_second else steps
+        if n_evals >= 2 and self._sf_use_pallas() and self._sf_chain_on():
+            from ..ops.embedding import sceneflow_embed_consts
+            from ..ops.pallas import fused_mlp_embed_chain
+
+            b, h, w, _ = pts.shape
+            consts = sceneflow_embed_consts(
+                self.cfg.n_freq_xyz, self.cfg.n_freq_t,
+                self.cfg.time_dependent)
+            fx, ft, raw_m, cos_m, sin_m = (jnp.asarray(c) for c in consts)
+            n = b * h * w
+            if self.cfg.time_dependent:
+                ts_flat = ts.reshape(n, 1)
+                dt_flat = jnp.broadcast_to(
+                    time_step, ts.shape).reshape(n, 1).astype(pts.dtype)
+            else:
+                ts_flat = jnp.zeros((n, 1), pts.dtype)
+                dt_flat = jnp.zeros((n, 1), pts.dtype)
+            names = sorted(params_sf.keys(),
+                           key=lambda s: int(s.split("__")[1]))
+            ws = tuple(params_sf[n2]["kernel"] for n2 in names)
+            bs = tuple(params_sf[n2]["bias"] for n2 in names)
+            acc, f0, f1 = fused_mlp_embed_chain(
+                pts.reshape(n, 3), ts_flat, dt_flat, fx, ft, raw_m, cos_m,
+                sin_m, ws, bs, steps, n_evals,
+                float(self.cfg.loss.sf_mag_div),
+            )
+            shape = (b, h, w, 3)
+            return (acc.reshape(shape), f0.reshape(shape),
+                    f1.reshape(shape) if n_evals >= 2 else None)
         sf_acc = jnp.zeros_like(pts)
         evals = []
         for _ in range(steps):
@@ -352,7 +401,8 @@ class SceneFlowMotionFieldStep:
         return warp
 
     def _forward(self, params_depth, params_sf, stats_depth, batch,
-                 steps: int, full_warp: bool = False):
+                 steps: int, full_warp: bool = False,
+                 want_second: bool = False):
         """(reference: _predict_on_batch, models/scene_flow_motion_field.py:
         229-264). The reference's flow_by_depth + scene_flow_projection pair
         is merged: shared unprojections computed once and ONE fused
@@ -374,7 +424,8 @@ class SceneFlowMotionFieldStep:
 
         time_step = batch["time_step"]
         sf_1_2, first_sf, second_sf = self._sf_multi_step(
-            params_sf, global_p1, batch["time_stamp_1"], time_step, steps
+            params_sf, global_p1, batch["time_stamp_1"], time_step, steps,
+            want_second=want_second,
         )
         if self.cfg.use_motion_seg:
             sf_1_2 = sf_1_2 * batch["motion_seg_1"]
@@ -416,7 +467,8 @@ class SceneFlowMotionFieldStep:
 
     def _fused_loss_forward(self, params_depth, params_sf, stats_depth,
                             batch, steps: int, warm: bool,
-                            full_warp: bool = False):
+                            full_warp: bool = False,
+                            want_second: bool = False):
         """Lean training-loss forward where everything between the depth CNN
         and the scalar losses runs as Pallas kernels: fused 3-channel warp
         (the vis-only warped depth is skipped), fused scene-flow MLP, and
@@ -443,7 +495,7 @@ class SceneFlowMotionFieldStep:
         global_p1 = camera_to_world(unproject_camera(depth_1, cam_1), cam_1)
         sf_1_2, first_sf, second_sf = self._sf_multi_step(
             params_sf, global_p1, batch["time_stamp_1"],
-            batch["time_step"], steps,
+            batch["time_step"], steps, want_second=want_second,
         )
         if self.cfg.use_motion_seg:
             sf_1_2 = sf_1_2 * batch["motion_seg_1"]
@@ -471,26 +523,26 @@ class SceneFlowMotionFieldStep:
                       steps: int, warm: bool, full_warp: bool = False):
         cfg = self.cfg.loss
         pixels = batch["img_1"].shape[1] * batch["img_1"].shape[2]
+        use_reg = (
+            cfg.interp_steps > 0 and (not warm or cfg.warm_reg) and cfg.acc_mul > 0
+        )
         if self._loss_use_pallas(pixels):
             (main, logs, global_p1, first_sf,
              second_sf) = self._fused_loss_forward(
                 params_depth, params_sf, stats_depth, batch, steps, warm,
-                full_warp,
+                full_warp, want_second=use_reg,
             )
             pred = {"global_p1": global_p1}
         else:
             pred = self._forward(params_depth, params_sf, stats_depth,
-                                 batch, steps, full_warp)
+                                 batch, steps, full_warp,
+                                 want_second=use_reg)
             first_sf = pred.pop("_first_sf", None)
             second_sf = pred.pop("_second_sf", None)
             main, logs = consistency_losses(
                 pred, batch["flow_1_2"], batch["mask_2"], cfg, warm
             )
         total = main * steps if cfg.weight_steps else main
-
-        use_reg = (
-            cfg.interp_steps > 0 and (not warm or cfg.warm_reg) and cfg.acc_mul > 0
-        )
         if use_reg:
             reg = self._acc_reg(
                 params_sf, pred["global_p1"], batch["time_stamp_1"],

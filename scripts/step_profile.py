@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 def capture(outdir: str, iters: int, wide: bool = False,
             dense_group_width: int = 16, merge_group_width: int = 128,
-            pallas: str = "auto"):
+            pallas: str = "auto", sf_chain: str = "auto"):
     import jax
     import numpy as np
 
@@ -67,6 +67,7 @@ def capture(outdir: str, iters: int, wide: bool = False,
         dense_group_width=dense_group_width,
         merge_group_width=merge_group_width,
         use_pallas_sf=pallas, use_pallas_warp=pallas, use_pallas_loss=pallas,
+        use_pallas_sf_chain=sf_chain,
     )
     step = SceneFlowMotionFieldStep(cfg)
     rng = np.random.RandomState(0)
@@ -230,6 +231,10 @@ def main():
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--dense-group-width", type=int, default=16)
     ap.add_argument("--merge-group-width", type=int, default=128)
+    ap.add_argument("--sf-chain", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="Euler-chain megakernel A/B (auto = follow "
+                         "--pallas sf)")
     ap.add_argument("--pallas", choices=("auto", "on", "off"),
                     default="auto",
                     help="force the fused kernels on/off for hardware A/Bs")
@@ -238,7 +243,8 @@ def main():
     a = ap.parse_args()
     if not a.analyze_only:
         capture(a.out, a.iters, a.wide,
-                a.dense_group_width, a.merge_group_width, a.pallas)
+                a.dense_group_width, a.merge_group_width, a.pallas,
+                a.sf_chain)
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)

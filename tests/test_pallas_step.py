@@ -12,7 +12,7 @@ from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
 
 
 def cfg(use_pallas, use_pallas_warp=False, warp_window=None,
-        use_pallas_loss=False, midas_mask=False):
+        use_pallas_loss=False, midas_mask=False, sf_chain="auto"):
     return TrainStepConfig(
         lr=1e-4, scene_lr_mul=10.0, depth_net="tiny",
         net_width=32, n_layers=2, n_freq_xyz=4, n_freq_t=2,
@@ -23,6 +23,7 @@ def cfg(use_pallas, use_pallas_warp=False, warp_window=None,
         use_pallas_warp="on" if use_pallas_warp else "off",
         use_pallas_loss="on" if use_pallas_loss else "off",
         pallas_warp_window=warp_window,
+        use_pallas_sf_chain=sf_chain,
     )
 
 
@@ -156,5 +157,74 @@ def test_pallas_warp_step_matches_xla_step(rng):
                                    rtol=1e-4, atol=1e-6)
     for a, b in zip(jax.tree.leaves(ref_state.params_sf),
                     jax.tree.leaves(pl_state.params_sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_chain_off_pereval_path_matches_flax_step(rng):
+    """--use_pallas_sf_chain off must fall back to the per-eval fused MLP
+    (one fused_mlp_embed launch per Euler step) and still match the Flax
+    step — keeps the escape-hatch path covered now that 'auto' prefers the
+    chain megakernel at steps >= 2."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    step_ref = SceneFlowMotionFieldStep(cfg(False))
+    state0 = step_ref.init_state(jax.random.PRNGKey(11), batch["img_1"])
+    ref_state, ref_logs = step_ref.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+    )
+
+    step_pl = SceneFlowMotionFieldStep(cfg(True, sf_chain="off"))
+    with pltpu.force_tpu_interpret_mode():
+        pl_state, pl_logs = step_pl.train_step(
+            jax.tree.map(jnp.copy, state0), batch, steps=2, warm=False
+        )
+
+    np.testing.assert_allclose(float(pl_logs["loss"]), float(ref_logs["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params_sf),
+                    jax.tree.leaves(pl_state.params_sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_chain_gap1_phantom_reg_eval_matches_flax_step(rng):
+    """At steps == 1 with the acceleration regularizer on, the chain runs a
+    phantom second evaluation for the regularizer's (p1 + sf0, t1 + dt)
+    query (reference: _opt_reg, models/scene_flow_motion_field.py:326-344)
+    instead of a separate kernel launch — values and updates must match."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import __graft_entry__ as g
+
+    batch = g._synthetic_batch(1, 16, 24, rng)
+
+    step_ref = SceneFlowMotionFieldStep(cfg(False))
+    state0 = step_ref.init_state(jax.random.PRNGKey(13), batch["img_1"])
+    ref_state, ref_logs = step_ref.train_step(
+        jax.tree.map(jnp.copy, state0), batch, steps=1, warm=False
+    )
+    assert float(ref_logs["acc_reg"]) != 0.0
+
+    step_pl = SceneFlowMotionFieldStep(cfg(True))
+    with pltpu.force_tpu_interpret_mode():
+        pl_state, pl_logs = step_pl.train_step(
+            jax.tree.map(jnp.copy, state0), batch, steps=1, warm=False
+        )
+
+    np.testing.assert_allclose(float(pl_logs["loss"]), float(ref_logs["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(pl_logs["acc_reg"]),
+                               float(ref_logs["acc_reg"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params_sf),
+                    jax.tree.leaves(pl_state.params_sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.params_depth),
+                    jax.tree.leaves(pl_state.params_depth)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
