@@ -16,14 +16,18 @@
 from .correlation import fused_lookup_correlation
 from .loss_kernel import fused_projection_loss, pack_camera
 from .mlp_kernel import (
+    chain_bwd_vmem_bytes,
     fused_mlp,
     fused_mlp_embed,
     fused_mlp_embed_chain,
     fused_mlp_reference,
+    pick_chain_tile,
 )
 from .warp_kernel import fused_backward_warp
 
 __all__ = [
+    "chain_bwd_vmem_bytes",
+    "pick_chain_tile",
     "fused_lookup_correlation",
     "fused_mlp",
     "fused_mlp_embed",

@@ -433,9 +433,9 @@ fused_mlp_embed.defvjp(_fused_mlp_embed_fwd, _fused_mlp_embed_bwd)
 # still costs two kernel dispatches (fwd + VJP) plus the [N, 3] point
 # round-trips through HBM between them. This kernel keeps one point tile
 # resident in VMEM across the whole chain: forward stores only the per-step
-# points (K x [tile, 3] registers) and the backward re-materializes each
-# step's activations in the reverse sweep (classic BPTT-with-remat, O(K)
-# extra forwards, O(K * tile * 3) memory instead of O(K * tile * width)).
+# points and the backward re-materializes each step's activations in the
+# reverse sweep (classic BPTT-with-remat, O(K) extra forwards,
+# O(K * tile * 3) memory instead of O(K * tile * width)).
 #
 # It also returns the first TWO field evaluations, because the acceleration
 # regularizer queries the field at exactly (p0, t0) and (p0 + sf0, t0 + dt)
@@ -444,10 +444,80 @@ fused_mlp_embed.defvjp(_fused_mlp_embed_fwd, _fused_mlp_embed_bwd)
 # chain as a "phantom" step that advects but does not accumulate, so even a
 # gap-1 step gets the regularizer without a separate kernel launch.
 #
+# VMEM discipline (round-4 rewrite; the round-3 version OOMed the 16 MB
+# scoped-VMEM budget at the canonical 224x384 shape): every narrow
+# per-point array rides PACKED into a single <=128-lane buffer — separate
+# [tile, 3]/[tile, 1] blocks each pad to 128 lanes, so the old design's
+# pts/ts/dt/gacc/g0/g1/stash/grads cost 16 lane-padded buffers (double-
+# buffered) where the new one costs three. The backward also derives the
+# leaky-relu mask from the ACTIVATION sign (leaky preserves sign) instead
+# of keeping all pre-activations live, and recomputes the affine time
+# chain t_k = ((t0 + dt) + dt)... per step instead of storing it. The
+# footprint is a closed-form function of (tile, widths, n_evals) —
+# ``chain_bwd_vmem_bytes`` — and ``pick_chain_tile`` selects the largest
+# tile that fits the budget, so 'auto' can never select an OOMing config
+# (tests/test_pallas_chain.py pins canonical shapes under the limit).
+#
 # The in-kernel math is the exact op sequence of the unrolled XLA path
 # (same f32 adds, same divisions) — parity is pinned by
 # tests/test_pallas_chain.py.
 # ---------------------------------------------------------------------------
+
+_VREG_LANES = 128
+_VMEM_LIMIT_BYTES = 16 * 1024 * 1024  # scoped-VMEM budget per kernel
+_CHAIN_VMEM_BUDGET = 12 * 1024 * 1024  # headroom for compiler slop
+
+
+def _lanes(c: int) -> int:
+    return _pad_to(c, _VREG_LANES)
+
+
+def chain_bwd_vmem_bytes(tile: int, c0: int, widths: Tuple[int, ...],
+                         n_evals: int) -> int:
+    """Closed-form VMEM footprint model of the chain BACKWARD kernel (the
+    max of fwd/bwd) at a given point-tile size. Counts lane/sublane-padded
+    f32 buffers: streamed blocks double-buffered, weight/grad blocks, and
+    the kernel's peak live value set (remat activations + packed stash).
+    Conservative by construction (+25% slop) — used by ``pick_chain_tile``
+    and pinned < 16 MB for canonical configs in tests."""
+    f = 4  # f32
+    t = _pad_to(tile, 8)
+    stash_w = 3 * max(n_evals - 1, 1)
+    # streamed I/O blocks (double-buffered): packed input
+    # [tile, 14 + stash] and packed grad output [tile, 5]
+    io = 2 * f * t * (_lanes(14 + stash_w) + _lanes(5))
+    # weights in + dw out (+ biases/db, sublane-padded to 8); count x2 to
+    # be safe about block double-buffering
+    wb = 0
+    cin = c0
+    for w in widths:
+        wb += _pad_to(cin, 8) * _lanes(w) * f      # weight block
+        wb += 8 * _lanes(w) * f                    # bias block
+        cin = w
+    wb *= 2 * 2  # (weights + grads) x conservative double-buffer
+    # peak live values during one remat+backprop step: acts (feat + all
+    # hidden), ang/dang at embed width, g/dz at max width, plus the loop
+    # carries (pbar/tbar/ddt/dt/t_k ~ 5 narrow values, each one vreg-lane
+    # padded)
+    wmax = max([c0] + list(widths))
+    acts = f * t * (_lanes(c0) + sum(_lanes(w) for w in widths[:-1]))
+    emb = 2 * f * t * _lanes(c0)
+    flow = 2 * f * t * _lanes(wmax)
+    narrow = 6 * f * t * _VREG_LANES
+    scratch = acts + emb + flow + narrow
+    total = io + wb + scratch
+    return int(total * 1.25)
+
+
+def pick_chain_tile(c0: int, widths: Tuple[int, ...], n_evals: int,
+                    budget: int = _CHAIN_VMEM_BUDGET):
+    """Largest point-tile whose modeled backward footprint fits ``budget``;
+    None if even the smallest tile does not fit (caller falls back to the
+    per-eval XLA path)."""
+    for tile in (1024, 512, 256, 128):
+        if chain_bwd_vmem_bytes(tile, c0, tuple(widths), n_evals) <= budget:
+            return tile
+    return None
 
 
 def _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref, w_refs,
@@ -463,51 +533,48 @@ def _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref, w_refs,
     return h / sf_div
 
 
-def _fwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
-                      dt_ref, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
-                      *refs):
+def _fwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, x_ref, fx_ref,
+                      ft_ref, raw_ref, cos_ref, sin_ref, *refs):
+    """x_ref packs [pts(3) | ts(1) | dt(1)]; the output packs
+    [acc(3) | f0(3) | f1(3) | p_1..p_{n_evals-1} (3 each)] — the advected
+    points stash for the backward, riding the same lane-padded buffer."""
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers:2 * n_layers]
-    acc_ref, f0_ref, f1_ref = refs[2 * n_layers:2 * n_layers + 3]
-    # advected points p_1..p_{n_evals-1}, stashed for the backward pass so
-    # it needn't re-run the forward sweep (K-1 field evals saved per tile)
-    ps_refs = refs[2 * n_layers + 3:2 * n_layers + 3 + max(n_evals - 1, 0)]
+    y_ref = refs[2 * n_layers]
 
-    p = pts_ref[:]
-    t = ts_ref[:]
-    dt = dt_ref[:]
+    p = x_ref[:, 0:3]
+    t = x_ref[:, 3:4]
+    dt = x_ref[:, 4:5]
     acc = jnp.zeros_like(p)
     if n_evals < 2:
-        f1_ref[:] = jnp.zeros_like(f1_ref)
+        y_ref[:, 6:9] = jnp.zeros((x_ref.shape[0], 3), y_ref.dtype)
     for k in range(n_evals):
         sf = _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
                          w_refs, b_refs, n_layers, sf_div)
         if k == 0:
-            f0_ref[:] = sf.astype(f0_ref.dtype)
+            y_ref[:, 3:6] = sf.astype(y_ref.dtype)
         if k == 1:
-            f1_ref[:] = sf.astype(f1_ref.dtype)
+            y_ref[:, 6:9] = sf.astype(y_ref.dtype)
         if k < n_steps:
             acc = acc + sf
         if k + 1 < n_evals:
             p = p + sf
             t = t + dt
-            ps_refs[k][:] = p.astype(ps_refs[k].dtype)
-    acc_ref[:] = acc.astype(acc_ref.dtype)
+            off = 9 + 3 * k
+            y_ref[:, off:off + 3] = p.astype(y_ref.dtype)
+    y_ref[:, 0:3] = acc.astype(y_ref.dtype)
 
 
-def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
-                      dt_ref, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
-                      gacc_ref, g0_ref, g1_ref, *refs):
-    n_ps = max(n_evals - 1, 0)
-    ps_refs = refs[:n_ps]  # p_1..p_{n_evals-1} stashed by the forward
-    refs = refs[n_ps:]
+def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, x_ref, fx_ref,
+                      ft_ref, raw_ref, cos_ref, sin_ref, *refs):
+    """x_ref packs [pts(3) | ts(1) | dt(1) | gacc(3) | g0(3) | g1(3) |
+    p_1..p_{n_evals-1} (3 each)]; the grad output packs
+    [dpts(3) | dts(1) | ddt(1)]."""
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers:2 * n_layers]
-    dpts_ref = refs[2 * n_layers]
-    dts_ref = refs[2 * n_layers + 1]
-    ddt_ref = refs[2 * n_layers + 2]
-    dw_refs = refs[2 * n_layers + 3:3 * n_layers + 3]
-    db_refs = refs[3 * n_layers + 3:4 * n_layers + 3]
+    d_ref = refs[2 * n_layers]
+    dw_refs = refs[2 * n_layers + 1:3 * n_layers + 1]
+    db_refs = refs[3 * n_layers + 1:4 * n_layers + 1]
 
     step = pl.program_id(0)
 
@@ -517,24 +584,33 @@ def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
             dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
             db_refs[i][:] = jnp.zeros_like(db_refs[i])
 
-    # per-step points come stashed from the forward kernel; times are the
-    # cheap affine chain t_k = t + k*dt, recomputed here
-    dt = dt_ref[:]
-    ps = [pts_ref[:]] + [r[:] for r in ps_refs]
-    tss = [ts_ref[:]]
-    for k in range(n_evals - 1):
-        tss.append(tss[k] + dt)
+    t0 = x_ref[:, 3:4]
+    dt = x_ref[:, 4:5]
+    gacc = x_ref[:, 5:8].astype(jnp.float32)
+    g0 = x_ref[:, 8:11].astype(jnp.float32)
+    g1 = x_ref[:, 11:14].astype(jnp.float32)
 
-    gacc = gacc_ref[:].astype(jnp.float32)
-    g0 = g0_ref[:].astype(jnp.float32)
-    g1 = g1_ref[:].astype(jnp.float32)
+    def p_at(k):
+        if k == 0:
+            return x_ref[:, 0:3]
+        off = 14 + 3 * (k - 1)
+        return x_ref[:, off:off + 3]
 
-    pbar = jnp.zeros_like(ps[0])   # grad wrt p_{k+1}
-    tbar = jnp.zeros_like(tss[0])  # grad wrt t_{k+1}
-    ddt = jnp.zeros_like(tss[0])
+    def t_at(k):
+        # the affine chain t_k = ((t0 + dt) + dt)... — recomputed with the
+        # forward's sequential f32 adds (bit-identical), O(K^2) one-vreg
+        # VPU adds total instead of K stored lane-padded buffers
+        t = t0
+        for _ in range(k):
+            t = t + dt
+        return t
+
+    pbar = jnp.zeros_like(gacc)          # grad wrt p_{k+1}
+    tbar = jnp.zeros_like(t0)            # grad wrt t_{k+1}
+    ddt = jnp.zeros_like(t0)
     for k in reversed(range(n_evals)):
         advanced = k + 1 < n_evals  # this eval's sf fed p_{k+1}
-        fbar = pbar if advanced else jnp.zeros_like(ps[0])
+        fbar = pbar if advanced else jnp.zeros_like(gacc)
         if k < n_steps:
             fbar = fbar + gacc
         if k == 0:
@@ -543,22 +619,24 @@ def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
             fbar = fbar + g1
         g = fbar / sf_div
 
-        # re-materialize this step's activations at (p_k, t_k)
-        ang = _embed_ang(ps[k], tss[k], fx_ref, ft_ref)
+        # re-materialize this step's activations at (p_k, t_k); only the
+        # post-activation values are kept — the leaky-relu gradient mask is
+        # recovered from the activation's sign (leaky preserves sign, so
+        # act >= 0 iff its pre-activation >= 0)
+        ang = _embed_ang(p_at(k), t_at(k), fx_ref, ft_ref)
         feat = _embed_feat(ang, raw_ref, cos_ref, sin_ref)
         acts = [feat]
         h = feat
-        zs = []
-        for i in range(n_layers):
+        for i in range(n_layers - 1):
             z = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
-            z = z + b_refs[i][:]
-            zs.append(z)
-            h = _leaky(z) if i < n_layers - 1 else z
-            if i < n_layers - 1:
-                acts.append(h)
+            h = _leaky(z + b_refs[i][:])
+            acts.append(h)
 
         for i in reversed(range(n_layers)):
-            dz = g if i == n_layers - 1 else g * _leaky_grad(zs[i])
+            if i == n_layers - 1:
+                dz = g
+            else:
+                dz = g * jnp.where(acts[i + 1] >= 0, 1.0, _SLOPE)
             dw_refs[i][:] += jnp.dot(
                 acts[i].T, dz, preferred_element_type=jnp.float32
             ).astype(dw_refs[i].dtype)
@@ -585,9 +663,9 @@ def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, pts_ref, ts_ref,
             pbar = dp_local
             tbar = dt_local
 
-    dpts_ref[:] = pbar.astype(dpts_ref.dtype)
-    dts_ref[:] = tbar.astype(dts_ref.dtype)
-    ddt_ref[:] = ddt.astype(ddt_ref.dtype)
+    d_ref[:, 0:3] = pbar.astype(d_ref.dtype)
+    d_ref[:, 3:4] = tbar.astype(d_ref.dtype)
+    d_ref[:, 4:5] = ddt.astype(d_ref.dtype)
 
 
 def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
@@ -614,6 +692,17 @@ def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
     return acc, f0, f1
 
 
+def _resolve_chain_tile(tile, c0, widths, n_evals):
+    if tile is not None:
+        return tile
+    picked = pick_chain_tile(c0, widths, n_evals)
+    if picked is None:
+        raise ValueError(
+            f"no chain tile fits the VMEM budget for widths={widths}, "
+            f"n_evals={n_evals}; use the per-eval path")
+    return picked
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def fused_mlp_embed_chain(pts: jnp.ndarray, ts: jnp.ndarray, dt: jnp.ndarray,
                           fx: jnp.ndarray, ft: jnp.ndarray,
@@ -622,16 +711,23 @@ def fused_mlp_embed_chain(pts: jnp.ndarray, ts: jnp.ndarray, dt: jnp.ndarray,
                           weights: Tuple[jnp.ndarray, ...],
                           biases: Tuple[jnp.ndarray, ...],
                           n_steps: int, n_evals: int, sf_div: float,
-                          tile: int = 512):
+                          tile: int = None):
     """Euler-integrate the scene-flow field ``n_evals`` evaluations in ONE
     kernel: ``pts [N, 3], ts/dt [N, 1] -> (sf_acc, first_sf, second_sf)``,
     each ``[N, 3]``. The first ``n_steps`` evaluations accumulate into
     ``sf_acc``; every non-final evaluation advects ``p += sf, t += dt``.
     ``second_sf`` is zeros when ``n_evals < 2``. ``sf_div`` divides each
     evaluation (reference: forward_sf_net, scene_flow_motion_field.py:358).
-    """
+    ``tile=None`` picks the largest point tile whose modeled VMEM footprint
+    fits the scoped budget (``pick_chain_tile``)."""
     return _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
                       biases, n_steps, n_evals, sf_div, tile)[0]
+
+
+def _chain_pack(arrs, n_pad):
+    n = arrs[0].shape[0]
+    x = jnp.concatenate(arrs, axis=1)
+    return jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
 
 def _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
@@ -639,15 +735,13 @@ def _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
     n = pts.shape[0]
     n_layers = len(weights)
     n_pad = _pad_to(max(n, 1), tile)
-    pad = ((0, n_pad - n), (0, 0))
-    pts_p, ts_p, dt_p = (jnp.pad(a, pad) for a in (pts, ts, dt))
+    x = _chain_pack((pts, ts, dt), n_pad)  # [n_pad, 5]
     biases2d = [b.reshape(1, -1) for b in biases]
+    y_w = 9 + 3 * max(n_evals - 1, 1)  # acc | f0 | f1 | p_1..p_{K-1}
 
     grid = (n_pad // tile,)
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 5), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ] + _const_specs(fx, ft, raw_m)
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
@@ -656,46 +750,47 @@ def _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    out3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    n_out = 3 + max(n_evals - 1, 0)  # acc, f0, f1, stashed p_1..p_{K-1}
-    outs = pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_fwd_chain_kernel, n_layers, n_steps, n_evals,
                           sf_div),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(out3,) * n_out,
-        out_shape=tuple(jax.ShapeDtypeStruct((n_pad, 3), pts.dtype)
-                        for _ in range(n_out)),
-    )(pts_p, ts_p, dt_p, fx, ft, raw_m, cos_m, sin_m, *weights, *biases2d)
-    return tuple(o[:n] for o in outs[:3]), tuple(outs[3:])
+        out_specs=pl.BlockSpec((tile, y_w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, y_w), pts.dtype),
+    )(x, fx, ft, raw_m, cos_m, sin_m, *weights, *biases2d)
+    return (y[:n, 0:3], y[:n, 3:6], y[:n, 6:9]), y[:n, 9:]
 
 
 def _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
                n_steps, n_evals, sf_div, tile):
-    out, ps = _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m,
-                             tuple(weights), tuple(biases), n_steps, n_evals,
-                             sf_div, tile)
+    tile = _resolve_chain_tile(tile, raw_m.shape[1], [w.shape[1] for w in weights],
+                               n_evals)
+    out, stash = _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m,
+                                tuple(weights), tuple(biases), n_steps,
+                                n_evals, sf_div, tile)
     return out, (pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, tuple(weights),
-                 tuple(biases), ps)
+                 tuple(biases), stash)
 
 
 def _chain_bwd(n_steps, n_evals, sf_div, tile, residuals, gs):
     (pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
-     ps) = residuals
+     stash) = residuals
+    tile = _resolve_chain_tile(tile, raw_m.shape[1],
+                               [w.shape[1] for w in weights], n_evals)
     g_acc, g0, g1 = gs
     n = pts.shape[0]
     n_layers = len(weights)
     n_pad = _pad_to(max(n, 1), tile)
-    pad = ((0, n_pad - n), (0, 0))
-    pts_p, ts_p, dt_p = (jnp.pad(a, pad) for a in (pts, ts, dt))
-    gacc_p, g0_p, g1_p = (jnp.pad(a, pad) for a in (g_acc, g0, g1))
+    stash_cols = stash[:, :3 * max(n_evals - 1, 0)]
+    x = _chain_pack((pts, ts, dt, g_acc, g0, g1, stash_cols), n_pad)
+    x_w = x.shape[1]  # 14 + 3*(n_evals-1)
     biases2d = [b.reshape(1, -1) for b in biases]
 
     grid = (n_pad // tile,)
-    t3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    t1 = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    in_specs = ([t3, t1, t1] + _const_specs(fx, ft, raw_m) + [t3, t3, t3]
-                + [t3] * len(ps))
+    in_specs = [
+        pl.BlockSpec((tile, x_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + _const_specs(fx, ft, raw_m)
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -703,12 +798,9 @@ def _chain_bwd(n_steps, n_evals, sf_div, tile, residuals, gs):
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((n_pad, 3), pts.dtype),
-        jax.ShapeDtypeStruct((n_pad, 1), ts.dtype),
-        jax.ShapeDtypeStruct((n_pad, 1), dt.dtype),
-    ]
-    out_specs = [t3, t1, t1]
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, 5), pts.dtype)]
+    out_specs = [pl.BlockSpec((tile, 5), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
     for w in weights:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
@@ -725,15 +817,15 @@ def _chain_bwd(n_steps, n_evals, sf_div, tile, residuals, gs):
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-    )(pts_p, ts_p, dt_p, fx, ft, raw_m, cos_m, sin_m, gacc_p, g0_p, g1_p,
-      *ps, *weights, *biases2d)
+    )(x, fx, ft, raw_m, cos_m, sin_m, *weights, *biases2d)
 
-    dpts = outs[0][:n]
-    dts = outs[1][:n]
-    ddt = outs[2][:n]
-    dws = tuple(outs[3 + i].astype(weights[i].dtype) for i in range(n_layers))
+    d = outs[0]
+    dpts = d[:n, 0:3]
+    dts = d[:n, 3:4]
+    ddt = d[:n, 4:5]
+    dws = tuple(outs[1 + i].astype(weights[i].dtype) for i in range(n_layers))
     dbs = tuple(
-        outs[3 + n_layers + i][0].astype(biases[i].dtype)
+        outs[1 + n_layers + i][0].astype(biases[i].dtype)
         for i in range(n_layers)
     )
     zero = jax.tree.map(jnp.zeros_like, (fx, ft, raw_m, cos_m, sin_m))

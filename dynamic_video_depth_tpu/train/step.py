@@ -333,33 +333,39 @@ class SceneFlowMotionFieldStep:
         n_evals = max(2, steps) if want_second else steps
         if n_evals >= 2 and self._sf_use_pallas() and self._sf_chain_on():
             from ..ops.embedding import sceneflow_embed_consts
-            from ..ops.pallas import fused_mlp_embed_chain
+            from ..ops.pallas import fused_mlp_embed_chain, pick_chain_tile
 
             b, h, w, _ = pts.shape
             consts = sceneflow_embed_consts(
                 self.cfg.n_freq_xyz, self.cfg.n_freq_t,
                 self.cfg.time_dependent)
             fx, ft, raw_m, cos_m, sin_m = (jnp.asarray(c) for c in consts)
-            n = b * h * w
-            if self.cfg.time_dependent:
-                ts_flat = ts.reshape(n, 1)
-                dt_flat = jnp.broadcast_to(
-                    time_step, ts.shape).reshape(n, 1).astype(pts.dtype)
-            else:
-                ts_flat = jnp.zeros((n, 1), pts.dtype)
-                dt_flat = jnp.zeros((n, 1), pts.dtype)
             names = sorted(params_sf.keys(),
                            key=lambda s: int(s.split("__")[1]))
             ws = tuple(params_sf[n2]["kernel"] for n2 in names)
             bs = tuple(params_sf[n2]["bias"] for n2 in names)
-            acc, f0, f1 = fused_mlp_embed_chain(
-                pts.reshape(n, 3), ts_flat, dt_flat, fx, ft, raw_m, cos_m,
-                sin_m, ws, bs, steps, n_evals,
-                float(self.cfg.loss.sf_mag_div),
-            )
-            shape = (b, h, w, 3)
-            return (acc.reshape(shape), f0.reshape(shape),
-                    f1.reshape(shape) if n_evals >= 2 else None)
+            # VMEM-budget gate: 'auto' may only select chain configs whose
+            # modeled backward footprint fits the 16 MB scoped budget
+            # (round-3 lesson: an ungated chain OOMed on hardware at the
+            # canonical shape). None -> per-eval fallback below.
+            if pick_chain_tile(raw_m.shape[1], [w2.shape[1] for w2 in ws],
+                               n_evals) is not None:
+                n = b * h * w
+                if self.cfg.time_dependent:
+                    ts_flat = ts.reshape(n, 1)
+                    dt_flat = jnp.broadcast_to(
+                        time_step, ts.shape).reshape(n, 1).astype(pts.dtype)
+                else:
+                    ts_flat = jnp.zeros((n, 1), pts.dtype)
+                    dt_flat = jnp.zeros((n, 1), pts.dtype)
+                acc, f0, f1 = fused_mlp_embed_chain(
+                    pts.reshape(n, 3), ts_flat, dt_flat, fx, ft, raw_m,
+                    cos_m, sin_m, ws, bs, steps, n_evals,
+                    float(self.cfg.loss.sf_mag_div),
+                )
+                shape = (b, h, w, 3)
+                return (acc.reshape(shape), f0.reshape(shape),
+                        f1.reshape(shape) if n_evals >= 2 else None)
         sf_acc = jnp.zeros_like(pts)
         evals = []
         for _ in range(steps):

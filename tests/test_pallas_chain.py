@@ -126,6 +126,155 @@ def test_chain_reference_matches_pereval_composition(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+CANONICAL_WIDTHS = (256, 256, 256, 256, 256, 3)  # net_width 256, n_layers 4
+
+
+def canonical_consts():
+    # 16/16 xyz/t frequencies, time-dependent -> 132 embed features
+    # (reference: models/scene_flow_motion_field.py:107)
+    return tuple(jnp.asarray(c) for c in sceneflow_embed_consts(16, 16, True))
+
+
+def test_canonical_vmem_budget():
+    """The auto-picked kernel parameters must fit the 16 MB scoped-VMEM
+    budget for EVERY canonical configuration (gaps 1,2,4,6,8 -> n_evals
+    max(2,gap)) — the regression class that crashed round 3's bench
+    (scoped-VMEM OOM at 224x384, train/step.py:355)."""
+    from dynamic_video_depth_tpu.ops.pallas import (
+        chain_bwd_vmem_bytes,
+        pick_chain_tile,
+    )
+    from dynamic_video_depth_tpu.ops.pallas.mlp_kernel import (
+        _VMEM_LIMIT_BYTES,
+    )
+
+    for gap in (1, 2, 4, 6, 8):
+        n_evals = max(2, gap)
+        tile = pick_chain_tile(132, CANONICAL_WIDTHS, n_evals)
+        assert tile is not None, f"gap {gap}: no tile fits"
+        assert tile >= 256, f"gap {gap}: tile {tile} too small to feed MXU"
+        bytes_ = chain_bwd_vmem_bytes(tile, 132, CANONICAL_WIDTHS, n_evals)
+        assert bytes_ < _VMEM_LIMIT_BYTES, (
+            f"gap {gap}: modeled footprint {bytes_ / 2**20:.2f} MB exceeds "
+            f"the scoped limit")
+
+
+def test_vmem_model_monotone_and_bounded():
+    """Footprint grows with tile and (weakly) with chain length; absurd
+    tiles are rejected rather than silently selected."""
+    from dynamic_video_depth_tpu.ops.pallas import chain_bwd_vmem_bytes
+
+    b256 = chain_bwd_vmem_bytes(256, 132, CANONICAL_WIDTHS, 8)
+    b512 = chain_bwd_vmem_bytes(512, 132, CANONICAL_WIDTHS, 8)
+    b1024 = chain_bwd_vmem_bytes(1024, 132, CANONICAL_WIDTHS, 8)
+    assert b256 < b512 < b1024
+    assert (chain_bwd_vmem_bytes(512, 132, CANONICAL_WIDTHS, 2)
+            <= chain_bwd_vmem_bytes(512, 132, CANONICAL_WIDTHS, 8))
+
+
+def _numpy_f64_chain(pts, ts, dt, consts, ws, bs, n_steps, n_evals, sf_div):
+    """float64 ground truth of the chain (numpy; mirrors chain_reference)."""
+    fx, ft, raw_m, cos_m, sin_m = (np.asarray(c, np.float64) for c in consts)
+    p = np.asarray(pts, np.float64)
+    t = np.asarray(ts, np.float64)
+    d = np.asarray(dt, np.float64)
+    acc = np.zeros_like(p)
+    f0 = f1 = None
+    for k in range(n_evals):
+        ang = t * ft + p @ fx
+        feat = raw_m * ang + cos_m * np.cos(ang) + sin_m * np.sin(ang)
+        h = feat
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = h @ np.asarray(w, np.float64) + np.asarray(b, np.float64)
+            if i < len(ws) - 1:
+                h = np.where(h >= 0, h, 0.2 * h)
+        sf = h / sf_div
+        if k == 0:
+            f0 = sf
+        if k == 1:
+            f1 = sf
+        if k < n_steps:
+            acc = acc + sf
+        if k + 1 < n_evals:
+            p = p + sf
+            t = t + d
+    if f1 is None:
+        f1 = np.zeros_like(acc)
+    return acc, f0, f1
+
+
+def test_chain_canonical_width_parity(rng, interpret_mode):
+    """Parity at the REAL network size (width 256, 132 embed features,
+    n >= 8192 points, auto tile) — the tiny-width tests of round 3 missed
+    the canonical-shape failure class entirely.
+
+    The embedding frequencies are linspace(1, 17) (ops/embedding.py), so a
+    small f32 difference in an advected point is amplified ~17x into the
+    angles each following eval; over the chain kernel-vs-XLA element
+    comparison cannot be tighter than that decorrelation floor. The correctness bar is therefore an f64
+    ground truth: each f32 path must sit within the same error envelope of
+    it (measured: both max ~1.8e-3 rel, identical p99.9)."""
+    n = 8192
+    pts = rng.randn(n, 3).astype(np.float32)
+    ts = rng.rand(n, 1).astype(np.float32)
+    dt = np.full((n, 1), 1.0 / 50.0, np.float32)
+    consts = canonical_consts()
+    ws, bs = make_net(rng, consts[2].shape[1], widths=CANONICAL_WIDTHS)
+    n_steps = n_evals = 4
+
+    got = fused_mlp_embed_chain(
+        jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(dt), *consts, ws, bs,
+        n_steps, n_evals, 100.0)  # tile=None -> auto
+    want = chain_reference(
+        jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(dt), *consts, ws, bs,
+        n_steps, n_evals, 100.0)
+
+    truth = _numpy_f64_chain(
+        pts, ts, dt, [np.asarray(c) for c in consts],
+        [np.asarray(w) for w in ws], [np.asarray(b) for b in bs],
+        n_steps, n_evals, 100.0)
+
+    for g, w, t, name in zip(got, want, truth, ("acc", "first", "second")):
+        g, w = np.asarray(g), np.asarray(w)
+        scale = np.maximum(np.abs(t), 1e-6)
+        e_ker = np.abs(g - t) / scale
+        e_ref = np.abs(w - t) / scale
+        # the kernel must be as close to the f64 truth as XLA f32 is
+        # (2x slack + a ulp-scale floor), pointwise over the envelope stats
+        for stat in (np.max, lambda e: np.percentile(e, 99.9), np.mean):
+            assert stat(e_ker) <= 2.0 * stat(e_ref) + 1e-6, name
+
+
+def test_chain_canonical_width_gradients(rng, interpret_mode):
+    """Full VJP at canonical widths (n kept moderate: interpret mode runs
+    the reference backward too)."""
+    n = 1024
+    pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    ts = jnp.asarray(rng.rand(n, 1).astype(np.float32))
+    dt = jnp.full((n, 1), 1.0 / 50.0, jnp.float32)
+    consts = canonical_consts()
+    ws, bs = make_net(rng, consts[2].shape[1], widths=CANONICAL_WIDTHS)
+    n_steps = n_evals = 3
+    cots = tuple(
+        jnp.asarray(rng.randn(n, 3).astype(np.float32)) for _ in range(3)
+    )
+
+    def scalar(fn, pts, ts, dt, ws, bs):
+        outs = fn(pts, ts, dt, *consts, ws, bs, n_steps, n_evals, 100.0)
+        return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+    g_ker = jax.grad(lambda *a: scalar(fused_mlp_embed_chain, *a),
+                     argnums=(0, 1, 2, 3, 4))(pts, ts, dt, ws, bs)
+    g_ref = jax.grad(lambda *a: scalar(chain_reference, *a),
+                     argnums=(0, 1, 2, 3, 4))(pts, ts, dt, ws, bs)
+    for i, (a, b) in enumerate(zip(jax.tree.leaves(g_ker),
+                                   jax.tree.leaves(g_ref))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(b), 1e-3 * np.abs(b).max() + 1e-30)
+        rel = np.abs(a - b) / scale
+        assert np.percentile(rel, 99.9) < 5e-3, f"leaf {i}"
+
+
 def test_second_eval_is_zero_when_single_eval(rng, interpret_mode):
     pts, ts, dt, consts = make_inputs(rng, n=64)
     ws, bs = make_net(rng, consts[2].shape[1])
