@@ -93,6 +93,161 @@ def check_mlp_embed():
     assert e_fwd < 3e-2 and max(errs) < 3e-2, (e_fwd, errs)
 
 
+def _torch_f64_chain_grads(pts, ts, dt, consts, ws, bs, n_evals, sf_div,
+                           cots):
+    """f64 ground truth of the chain fwd + grads (torch autograd, CPU).
+    Mirrors chain_reference; returns (outs, grad leaves in
+    [dpts, dts, dw..., db...] order)."""
+    import torch
+
+    fx, ft, raw_m, cos_m, sin_m = (
+        torch.tensor(np.asarray(c), dtype=torch.float64) for c in consts)
+    tw = [torch.tensor(np.asarray(w), dtype=torch.float64,
+                       requires_grad=True) for w in ws]
+    tb = [torch.tensor(np.asarray(b), dtype=torch.float64,
+                       requires_grad=True) for b in bs]
+    tp = torch.tensor(np.asarray(pts), dtype=torch.float64,
+                      requires_grad=True)
+    tt = torch.tensor(np.asarray(ts), dtype=torch.float64,
+                      requires_grad=True)
+    td = torch.tensor(np.asarray(dt), dtype=torch.float64)
+
+    p, t = tp, tt
+    acc = torch.zeros_like(p)
+    f0 = f1 = None
+    for k in range(n_evals):
+        ang = t * ft + p @ fx
+        feat = raw_m * ang + cos_m * torch.cos(ang) + sin_m * torch.sin(ang)
+        h = feat
+        for i, (w, b) in enumerate(zip(tw, tb)):
+            h = h @ w + b
+            if i < len(tw) - 1:
+                h = torch.where(h >= 0, h, 0.2 * h)
+        sf = h / sf_div
+        if k == 0:
+            f0 = sf
+        if k == 1:
+            f1 = sf
+        acc = acc + sf
+        if k + 1 < n_evals:
+            p = p + sf
+            t = t + td
+    loss = sum((o * torch.tensor(np.asarray(c), dtype=torch.float64)).sum()
+               for o, c in zip((acc, f0, f1), cots))
+    loss.backward()
+    outs = [o.detach().numpy() for o in (acc, f0, f1)]
+    grads = ([tp.grad.numpy(), tt.grad.numpy()]
+             + [w.grad.numpy() for w in tw] + [b.grad.numpy() for b in tb])
+    return outs, grads
+
+
+def check_chain():
+    """The Euler-chain megakernel at REAL shapes: canonical 224x384
+    (86,016 points) and wide 320x576 (184,320 points), width-256 net,
+    n_evals up to 8 (gap-8 bucket) — the exact class that OOMed scoped
+    VMEM in round 3. Exercises the auto tile picker (tile=None).
+
+    Correctness bar: kernel-vs-XLA comparison is the WRONG instrument here
+    — measured on hardware, the XLA path's own bf16 MXU truncation error vs
+    an f64 truth is 2-5x LARGER than the kernel's (the kernel keeps the
+    whole chain in f32 VPU/accumulators), and the advection chain turns
+    that into decorrelation. So: (a) full canonical/wide shapes run
+    compile + execute + all-finite + a loose decorrelation envelope vs XLA,
+    and (b) a 4096-point subset (points are independent in the chain) is
+    checked against a torch-f64 truth with the envelope criterion — every
+    kernel grad leaf must sit within 2x the XLA path's own error of the
+    truth. A Mosaic miscompile (garbage lanes / wrong channels) fails both
+    by orders of magnitude."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_video_depth_tpu.ops.embedding import sceneflow_embed_consts
+    from dynamic_video_depth_tpu.ops.pallas.mlp_kernel import (
+        chain_reference,
+        fused_mlp_embed_chain,
+        pick_chain_tile,
+    )
+
+    rng = np.random.RandomState(2)
+    consts = tuple(jnp.asarray(c)
+                   for c in sceneflow_embed_consts(16, 16, True))
+    c0 = consts[2].shape[1]
+    dims = [c0, 256, 256, 256, 256, 3]
+    ws = tuple(jnp.asarray((rng.randn(a, b) * 0.05).astype(np.float32))
+               for a, b in zip(dims[:-1], dims[1:]))
+    bs = tuple(jnp.asarray((rng.randn(b) * 0.01).astype(np.float32))
+               for b in dims[1:])
+
+    def run_pair(n, n_evals):
+        pts = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        ts = jnp.asarray(rng.rand(n, 1).astype(np.float32))
+        dt = jnp.full((n, 1), 1.0 / 50.0, jnp.float32)
+        cots = tuple(jnp.asarray(rng.randn(n, 3).astype(np.float32))
+                     for _ in range(3))
+
+        def scalar(fn, pts, ts, ws, bs):
+            outs = fn(pts, ts, dt, *consts, ws, bs, n_evals, n_evals, 100.0)
+            return sum(jnp.sum(o * c) for o, c in zip(outs, cots))
+
+        out_k = jax.jit(lambda p, t, w, b: fused_mlp_embed_chain(
+            p, t, dt, *consts, w, b, n_evals, n_evals, 100.0))(
+                pts, ts, ws, bs)
+        out_r = jax.jit(lambda p, t, w, b: chain_reference(
+            p, t, dt, *consts, w, b, n_evals, n_evals, 100.0))(
+                pts, ts, ws, bs)
+        gk = jax.jit(jax.grad(
+            lambda *a: scalar(fused_mlp_embed_chain, *a),
+            argnums=(0, 1, 2, 3)))(pts, ts, ws, bs)
+        gr = jax.jit(jax.grad(
+            lambda *a: scalar(chain_reference, *a),
+            argnums=(0, 1, 2, 3)))(pts, ts, ws, bs)
+        leaves_k = ([gk[0], gk[1]] + list(gk[2]) + list(gk[3]))
+        leaves_r = ([gr[0], gr[1]] + list(gr[2]) + list(gr[3]))
+        return (pts, ts, dt, cots), out_k, out_r, leaves_k, leaves_r
+
+    def env999(a, truth):
+        a = np.asarray(a, np.float64)
+        scale = np.max(np.abs(truth)) + 1e-12
+        return float(np.percentile(np.abs(a - truth) / scale, 99.9))
+
+    # (a) full-shape compile/execute/finite + loose decorrelation envelope
+    for label, n, n_evals in (("canonical/gap2", 224 * 384, 2),
+                              ("canonical/gap8", 224 * 384, 8),
+                              ("wide/gap8", 320 * 576, 8)):
+        tile = pick_chain_tile(c0, tuple(dims[1:]), n_evals)
+        assert tile is not None, f"{label}: no tile fits the VMEM budget"
+        _, out_k, out_r, leaves_k, leaves_r = run_pair(n, n_evals)
+        for x in list(out_k) + leaves_k:
+            assert bool(jnp.all(jnp.isfinite(x))), f"{label}: non-finite"
+        e_fwd = max(rel_err_p999(a, b) for a, b in zip(out_k, out_r))
+        e_grad = max(rel_err_p999(a, b)
+                     for a, b in zip(leaves_k, leaves_r))
+        print(f"chain[{label}]: tile={tile} vs-XLA fwd p999={e_fwd:.2e}, "
+              f"grad p999 max={e_grad:.2e} (bf16 decorrelation envelope)")
+        # measured bf16-vs-bf16 decorrelation: fwd ~2e-2, grads ~0.18 at
+        # gap 2 (the XLA side owns most of it); garbage is orders worse
+        assert e_fwd < 1e-1 and e_grad < 7e-1, (label, e_fwd, e_grad)
+
+    # (b) f64-truth envelope on an independent-point subset, worst chain
+    n_evals = 8
+    (pts, ts, dt, cots), out_k, out_r, leaves_k, leaves_r = run_pair(
+        4096, n_evals)
+    truth_out, truth_g = _torch_f64_chain_grads(
+        pts, ts, dt, consts, ws, bs, n_evals, 100.0, cots)
+    worst = 0.0
+    for name, a, b, t in zip(
+            ["acc", "f0", "f1", "dpts", "dts"] + [f"dw{i}" for i in range(5)]
+            + [f"db{i}" for i in range(5)],
+            list(out_k) + leaves_k, list(out_r) + leaves_r,
+            truth_out + truth_g):
+        e_k, e_r = env999(a, t), env999(b, t)
+        ratio = e_k / (2.0 * e_r + 1e-6)
+        worst = max(worst, ratio)
+        assert ratio <= 1.0, (name, e_k, e_r)
+    print(f"chain[f64-truth, gap8]: kernel within 2x the XLA error envelope "
+          f"on every leaf (worst ratio {worst:.2f})")
+
+
 def check_full_step():
     import jax
 
@@ -133,6 +288,7 @@ def main():
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     check_mlp_embed()
+    check_chain()
     check_full_step()
     print("hw kernel parity OK")
 
