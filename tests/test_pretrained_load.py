@@ -63,3 +63,70 @@ def test_hourglass_checkpoint_load(tmp_path, rng, monkeypatch):
     batch = g._synthetic_batch(1, 32, 48, rng)
     state, logs = model.step.train_step(model.state, batch, steps=1, warm=False)
     assert np.isfinite(float(logs["loss"]))
+
+
+def _golden_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "depth_golden_check",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "depth_golden_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@needs_reference
+def test_depth_golden_check_hourglass(tmp_path, rng):
+    """scripts/depth_golden_check.py end to end on a fake (random-weight)
+    hourglass checkpoint in the official layout: checksum recording,
+    flax-vs-torch parity through the PRODUCTION loader, --freeze, golden
+    recheck, and the different-artifact refusal (VERDICT r3 item 5)."""
+    import torch
+    from third_party.hourglass import HourglassModel as TorchHG
+    from torch_replicas import randomize_bn_stats
+
+    mod = _golden_mod()
+
+    torch.manual_seed(0)
+    tnet = TorchHG(num_input=3).eval()
+    randomize_bn_stats(tnet, np.random.RandomState(0))
+    ckpt = str(tmp_path / "best_depth_Ours_Bilinear_inc_3_net_G.pth")
+    torch.save(tnet.state_dict(), ckpt)
+    golden = str(tmp_path / "golden.npz")
+
+    kw = dict(tol=1e-3, res=(64, 96))  # CI scale; CLI defaults to 224x384
+    assert mod.run("hourglass", ckpt, golden, freeze=True, **kw) == 0
+    assert os.path.isfile(golden)
+    assert mod.run("hourglass", ckpt, golden, freeze=False, **kw) == 0
+
+    torch.manual_seed(1)
+    other = str(tmp_path / "other.pth")
+    torch.save(TorchHG(num_input=3).state_dict(), other)
+    assert mod.run("hourglass", other, golden, freeze=False, **kw) == 2
+
+
+@needs_reference
+def test_depth_golden_check_midas(tmp_path, rng):
+    """Same harness on a fake full-size MiDaS checkpoint (ResNeXt101
+    backbone via the local replica standing in for the torch.hub fetch)."""
+    import torch
+    from torch_replicas import ResNeXt101, randomize_bn_stats
+
+    mod = _golden_mod()
+
+    torch.manual_seed(2)
+    backbone = ResNeXt101()
+    torch.hub.load = lambda *a, **k: backbone
+    from third_party.MiDaS import MidasNet
+
+    tnet = MidasNet(path=None, non_negative=True, normalize_input=True)
+    randomize_bn_stats(tnet, np.random.RandomState(2))
+    ckpt = str(tmp_path / "midas_cpkt.pt")
+    torch.save(tnet.state_dict(), ckpt)
+
+    golden = str(tmp_path / "golden.npz")
+    assert mod.run("midas", ckpt, golden, freeze=True,
+                   tol=1e-3, res=(64, 96)) == 0
