@@ -258,29 +258,54 @@ def check_full_step():
     rng = np.random.RandomState(1)
     batch = _synthetic_batch(1, 96, 160, rng)
 
-    losses = {}
-    for mode in ("on", "off"):
-        cfg = TrainStepConfig(
-            lr=1e-6, scene_lr_mul=1000.0, midas=True,
-            # loss.midas=False: with no pretrained ckpt the MiDaS far-field
-            # mask has zero mass and the loss is identically 0 on BOTH legs
-            # (a vacuous comparison); the plain mask keeps the losses alive
-            loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
-                            sf_mag_div=100.0, use_disp=True, midas=False,
-                            interp_steps=5),
-            compute_dtype="bfloat16",
-            use_pallas_sf=mode, use_pallas_warp=mode, use_pallas_loss=mode,
-        )
-        step = SceneFlowMotionFieldStep(cfg)
-        state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
-        state, logs = step.train_step(state, batch, steps=2, warm=False)
-        state, logs = step.train_step(state, batch, steps=2, warm=False)
-        losses[mode] = float(logs["loss"])
-    assert losses["off"] != 0.0, "XLA loss is exactly 0 — vacuous parity"
-    err = abs(losses["on"] - losses["off"]) / (abs(losses["off"]) + 1e-12)
-    print(f"full step: pallas loss={losses['on']:.6f} "
-          f"xla loss={losses['off']:.6f} rel_err={err:.2e}")
-    assert err < 1e-2, losses
+    # Compare at IDENTICAL params: the first step's loss (pure forward)
+    # and grad-norm fingerprints. Two measurement lessons baked in:
+    # (1) post-update trajectories are the wrong instrument — one Adam
+    # update at scene lr 1e-3 amplifies benign rounding differences into
+    # ~7% loss divergence between ANY two valid numeric paths, while at
+    # identical params all paths agree to ~1e-6; (2) gradient NORMS at
+    # random init are inherently non-comparable between two valid numeric
+    # paths of this model: the disparity loss carries 1/d^2 factors up to
+    # 1e6 near the 1e-3 clip, the grid-sample coordinate gradient is
+    # discontinuous at pixel boundaries (a 1e-6 coordinate difference
+    # flips an O(1) x 1e6 term), and MXU dots truncate operands to bf16
+    # regardless of compute dtype — measured swings: 1.85x (bf16) and
+    # 1.13-1.22x (f32) between Pallas-on and XLA. The norm check is
+    # therefore a GARBAGE detector (<2.5x ratio; a wrong-channel kernel
+    # gives 10-1000x), while the loss pins value parity tightly and the
+    # kernel-level checks above pin gradient math against f64 truth.
+    for dtype, tol_loss, tol_g in (("bfloat16", 1e-3, 1.5),
+                                   ("float32", 1e-4, 1.5)):
+        losses, gnorms = {}, {}
+        for mode in ("on", "off"):
+            cfg = TrainStepConfig(
+                lr=1e-6, scene_lr_mul=1000.0, midas=True,
+                # loss.midas=False: with no pretrained ckpt the MiDaS far-
+                # field mask has zero mass and the loss is identically 0 on
+                # BOTH legs (vacuous); the plain mask keeps losses alive
+                loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                                sf_mag_div=100.0, use_disp=True, midas=False,
+                                interp_steps=5),
+                compute_dtype=dtype, log_grad_stats=True,
+                use_pallas_sf=mode, use_pallas_warp=mode,
+                use_pallas_loss=mode,
+            )
+            step = SceneFlowMotionFieldStep(cfg)
+            state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+            state, logs = step.train_step(state, batch, steps=2, warm=False)
+            losses[mode] = float(logs["loss"])
+            gnorms[mode] = (float(logs["grad_norm_depth"]),
+                            float(logs["grad_norm_sf"]))
+        assert losses["off"] != 0.0, "XLA loss is 0 — vacuous parity"
+        err = abs(losses["on"] - losses["off"]) / (abs(losses["off"]) + 1e-12)
+        g_err = max(abs(a - b) / (abs(b) + 1e-12)
+                    for a, b in zip(gnorms["on"], gnorms["off"]))
+        print(f"full step[{dtype}]: pallas loss={losses['on']:.6f} "
+              f"xla loss={losses['off']:.6f} rel_err={err:.2e} "
+              f"grad_norm rel_err={g_err:.2e}")
+        assert err < tol_loss, (dtype, losses)
+        if tol_g is not None:
+            assert g_err < tol_g, (dtype, gnorms)
 
 
 def main():

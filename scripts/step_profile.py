@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 def capture(outdir: str, iters: int, wide: bool = False,
             dense_group_width: int = 16, merge_group_width: int = 128,
-            pallas: str = "auto", sf_chain: str = "auto"):
+            pallas: str = "auto", sf_chain: str = "auto", gap: int = 2):
     import jax
     import numpy as np
 
@@ -78,15 +78,15 @@ def capture(outdir: str, iters: int, wide: bool = False,
     # compile + settle OUTSIDE the trace (value fetch = real completion on
     # this backend; block_until_ready returns at enqueue)
     state, logs = dispatch_with_retry(
-        lambda: step.train_step(state, batch, steps=2, warm=False),
+        lambda: step.train_step(state, batch, steps=gap, warm=False),
         "profile capture compile")
     for _ in range(2):
-        state, logs = step.train_step(state, batch, steps=2, warm=False)
+        state, logs = step.train_step(state, batch, steps=gap, warm=False)
     _ = float(logs["loss"])
 
     with jax.profiler.trace(outdir):
         for _ in range(iters):
-            state, logs = step.train_step(state, batch, steps=2, warm=False)
+            state, logs = step.train_step(state, batch, steps=gap, warm=False)
         _ = float(logs["loss"])
     print(f"trace written to {outdir}")
 
@@ -227,6 +227,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/dvd_step_profile")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--gap", type=int, default=2,
+                    help="Euler step count (the gap bucket to profile)")
     ap.add_argument("--wide", action="store_true")
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--dense-group-width", type=int, default=16)
@@ -244,7 +246,7 @@ def main():
     if not a.analyze_only:
         capture(a.out, a.iters, a.wide,
                 a.dense_group_width, a.merge_group_width, a.pallas,
-                a.sf_chain)
+                a.sf_chain, a.gap)
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)
