@@ -424,18 +424,21 @@ def _fused_mlp_embed_bwd(tile, residuals, g):
 fused_mlp_embed.defvjp(_fused_mlp_embed_fwd, _fused_mlp_embed_bwd)
 
 # ---------------------------------------------------------------------------
-# Euler-chain megakernel: the WHOLE multi-step scene-flow integration
+# Euler-chain hybrid: the WHOLE multi-step scene-flow integration
 # (reference: forward_sf_net_multi_step, models/scene_flow_motion_field.py:
-# 360-367) in one kernel launch.
+# 360-367) as unrolled XLA FORWARD + one Pallas BACKWARD megakernel.
 #
-# The train step evaluates the field `steps` times, advecting the points by
-# each step's flow. Launched per-eval (fused_mlp_embed), every Euler step
-# still costs two kernel dispatches (fwd + VJP) plus the [N, 3] point
-# round-trips through HBM between them. This kernel keeps one point tile
-# resident in VMEM across the whole chain: forward stores only the per-step
-# points and the backward re-materializes each step's activations in the
-# reverse sweep (classic BPTT-with-remat, O(K) extra forwards,
-# O(K * tile * 3) memory instead of O(K * tile * width)).
+# The split follows hardware measurement (224x384, gap 8, v5e):
+#   - forward: XLA's full-M [N, 256] matmuls + fused transcendentals beat a
+#     tile-256 Pallas forward 2x (7.8 vs 15.7 ms wall) — the forward is
+#     compute-shaped work XLA already schedules well, and the advected
+#     points the backward needs fall out of it for free;
+#   - backward: XLA's chain backward stores/streams every eval's
+#     activations through HBM (~0.4 GB per eval at canonical shape) and
+#     loses 10+ ms to bandwidth; the Pallas backward keeps one point tile
+#     resident in VMEM and RE-MATERIALIZES each eval's activations in the
+#     reverse sweep (classic BPTT-with-remat, O(K) extra forwards,
+#     O(K * tile * 3) memory instead of O(K * tile * width)).
 #
 # It also returns the first TWO field evaluations, because the acceleration
 # regularizer queries the field at exactly (p0, t0) and (p0 + sf0, t0 + dt)
@@ -458,9 +461,12 @@ fused_mlp_embed.defvjp(_fused_mlp_embed_fwd, _fused_mlp_embed_bwd)
 # tile that fits the budget, so 'auto' can never select an OOMing config
 # (tests/test_pallas_chain.py pins canonical shapes under the limit).
 #
-# The in-kernel math is the exact op sequence of the unrolled XLA path
-# (same f32 adds, same divisions) — parity is pinned by
-# tests/test_pallas_chain.py.
+# The in-kernel remat math is the exact op sequence of the forward (same
+# f32 adds, same divisions) — parity is pinned by tests/test_pallas_chain.py
+# and, against a torch-f64 ground truth on hardware, by
+# scripts/hw_kernel_parity.py (measured: the remat backward is 2-5x MORE
+# accurate than XLA's stored-activation backward, which truncates matmul
+# operands to bf16 on the much larger stored tensors).
 # ---------------------------------------------------------------------------
 
 _VREG_LANES = 128
@@ -531,38 +537,6 @@ def _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref, w_refs,
         if i < n_layers - 1:
             h = _leaky(h)
     return h / sf_div
-
-
-def _fwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, x_ref, fx_ref,
-                      ft_ref, raw_ref, cos_ref, sin_ref, *refs):
-    """x_ref packs [pts(3) | ts(1) | dt(1)]; the output packs
-    [acc(3) | f0(3) | f1(3) | p_1..p_{n_evals-1} (3 each)] — the advected
-    points stash for the backward, riding the same lane-padded buffer."""
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers:2 * n_layers]
-    y_ref = refs[2 * n_layers]
-
-    p = x_ref[:, 0:3]
-    t = x_ref[:, 3:4]
-    dt = x_ref[:, 4:5]
-    acc = jnp.zeros_like(p)
-    if n_evals < 2:
-        y_ref[:, 6:9] = jnp.zeros((x_ref.shape[0], 3), y_ref.dtype)
-    for k in range(n_evals):
-        sf = _chain_eval(p, t, fx_ref, ft_ref, raw_ref, cos_ref, sin_ref,
-                         w_refs, b_refs, n_layers, sf_div)
-        if k == 0:
-            y_ref[:, 3:6] = sf.astype(y_ref.dtype)
-        if k == 1:
-            y_ref[:, 6:9] = sf.astype(y_ref.dtype)
-        if k < n_steps:
-            acc = acc + sf
-        if k + 1 < n_evals:
-            p = p + sf
-            t = t + dt
-            off = 9 + 3 * k
-            y_ref[:, off:off + 3] = p.astype(y_ref.dtype)
-    y_ref[:, 0:3] = acc.astype(y_ref.dtype)
 
 
 def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, x_ref, fx_ref,
@@ -668,12 +642,15 @@ def _bwd_chain_kernel(n_layers, n_steps, n_evals, sf_div, x_ref, fx_ref,
     d_ref[:, 4:5] = ddt.astype(d_ref.dtype)
 
 
-def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
-                    biases, n_steps, n_evals, sf_div):
-    """Plain-XLA reference of the chain (the unrolled per-eval path)."""
+def _chain_xla(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
+               biases, n_steps, n_evals, sf_div):
+    """Unrolled-XLA chain forward; also returns the advected points
+    ``p_1..p_{n_evals-1}`` (the backward kernel's remat stash — they fall
+    out of the forward for free)."""
     p, t = pts, ts
     acc = jnp.zeros_like(p)
     f0 = f1 = None
+    stash = []
     for k in range(n_evals):
         ang = t * ft + p @ fx
         feat = raw_m * ang + cos_m * jnp.cos(ang) + sin_m * jnp.sin(ang)
@@ -687,9 +664,19 @@ def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
         if k + 1 < n_evals:
             p = p + sf
             t = t + dt
+            stash.append(p)
     if f1 is None:
         f1 = jnp.zeros_like(acc)
-    return acc, f0, f1
+    stash = (jnp.concatenate(stash, axis=1) if stash
+             else jnp.zeros((pts.shape[0], 0), pts.dtype))
+    return (acc, f0, f1), stash
+
+
+def chain_reference(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
+                    biases, n_steps, n_evals, sf_div):
+    """Plain-XLA reference of the chain (the unrolled per-eval path)."""
+    return _chain_xla(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
+                      biases, n_steps, n_evals, sf_div)[0]
 
 
 def _resolve_chain_tile(tile, c0, widths, n_evals):
@@ -712,14 +699,16 @@ def fused_mlp_embed_chain(pts: jnp.ndarray, ts: jnp.ndarray, dt: jnp.ndarray,
                           biases: Tuple[jnp.ndarray, ...],
                           n_steps: int, n_evals: int, sf_div: float,
                           tile: int = None):
-    """Euler-integrate the scene-flow field ``n_evals`` evaluations in ONE
-    kernel: ``pts [N, 3], ts/dt [N, 1] -> (sf_acc, first_sf, second_sf)``,
-    each ``[N, 3]``. The first ``n_steps`` evaluations accumulate into
+    """Euler-integrate the scene-flow field ``n_evals`` evaluations:
+    ``pts [N, 3], ts/dt [N, 1] -> (sf_acc, first_sf, second_sf)``, each
+    ``[N, 3]``. Forward = unrolled XLA (fastest measured); backward = ONE
+    Pallas remat megakernel (see the module comment for the measured
+    rationale). The first ``n_steps`` evaluations accumulate into
     ``sf_acc``; every non-final evaluation advects ``p += sf, t += dt``.
     ``second_sf`` is zeros when ``n_evals < 2``. ``sf_div`` divides each
     evaluation (reference: forward_sf_net, scene_flow_motion_field.py:358).
-    ``tile=None`` picks the largest point tile whose modeled VMEM footprint
-    fits the scoped budget (``pick_chain_tile``)."""
+    ``tile=None`` picks the largest point tile whose modeled backward VMEM
+    footprint fits the scoped budget (``pick_chain_tile``)."""
     return _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights,
                       biases, n_steps, n_evals, sf_div, tile)[0]
 
@@ -730,45 +719,15 @@ def _chain_pack(arrs, n_pad):
     return jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
 
-def _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
-                   n_steps, n_evals, sf_div, tile):
-    n = pts.shape[0]
-    n_layers = len(weights)
-    n_pad = _pad_to(max(n, 1), tile)
-    x = _chain_pack((pts, ts, dt), n_pad)  # [n_pad, 5]
-    biases2d = [b.reshape(1, -1) for b in biases]
-    y_w = 9 + 3 * max(n_evals - 1, 1)  # acc | f0 | f1 | p_1..p_{K-1}
-
-    grid = (n_pad // tile,)
-    in_specs = [
-        pl.BlockSpec((tile, 5), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ] + _const_specs(fx, ft, raw_m)
-    for w in weights:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    for b in biases2d:
-        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-
-    y = pl.pallas_call(
-        functools.partial(_fwd_chain_kernel, n_layers, n_steps, n_evals,
-                          sf_div),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, y_w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, y_w), pts.dtype),
-    )(x, fx, ft, raw_m, cos_m, sin_m, *weights, *biases2d)
-    return (y[:n, 0:3], y[:n, 3:6], y[:n, 6:9]), y[:n, 9:]
-
-
 def _chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, weights, biases,
                n_steps, n_evals, sf_div, tile):
-    tile = _resolve_chain_tile(tile, raw_m.shape[1], [w.shape[1] for w in weights],
-                               n_evals)
-    out, stash = _run_chain_fwd(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m,
-                                tuple(weights), tuple(biases), n_steps,
-                                n_evals, sf_div, tile)
+    # validate the tile up front so an un-fittable config fails at the
+    # forward (trace time), not deep inside the transpose rule
+    _resolve_chain_tile(tile, raw_m.shape[1],
+                        [w.shape[1] for w in weights], n_evals)
+    out, stash = _chain_xla(pts, ts, dt, fx, ft, raw_m, cos_m, sin_m,
+                            tuple(weights), tuple(biases), n_steps,
+                            n_evals, sf_div)
     return out, (pts, ts, dt, fx, ft, raw_m, cos_m, sin_m, tuple(weights),
                  tuple(biases), stash)
 
