@@ -281,3 +281,26 @@ def test_second_eval_is_zero_when_single_eval(rng, interpret_mode):
     _, _, f1 = fused_mlp_embed_chain(pts, ts, dt, *consts, ws, bs,
                                      1, 1, 100.0, tile=64)
     assert not np.asarray(f1).any()
+
+
+def test_hybrid_contract_fwd_xla_bwd_pallas(rng):
+    """The measured-optimal split is a design contract: the chain FORWARD
+    must lower to pure XLA (no pallas_call — XLA's full-M matmuls beat the
+    tiled kernel 2x on hardware), and the chain BACKWARD must run as ONE
+    Pallas remat megakernel (XLA's stored-activation backward loses 10+ ms
+    to HBM streaming). Pinned via jaxpr inspection."""
+    pts, ts, dt, consts = make_inputs(rng, n=256)
+    ws, bs = make_net(rng, consts[2].shape[1])
+
+    def fwd(p):
+        return fused_mlp_embed_chain(p, ts, dt, *consts, ws, bs, 3, 3, 100.0)
+
+    def loss(p):
+        return sum(jnp.sum(o) for o in fwd(p))
+
+    fwd_txt = str(jax.make_jaxpr(fwd)(pts))
+    assert "pallas_call" not in fwd_txt, "forward must be pure XLA"
+
+    grad_txt = str(jax.make_jaxpr(jax.grad(loss))(pts))
+    assert grad_txt.count("pallas_call") == 1, (
+        "backward must be exactly one Pallas megakernel")
