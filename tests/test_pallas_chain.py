@@ -304,3 +304,39 @@ def test_hybrid_contract_fwd_xla_bwd_pallas(rng):
     grad_txt = str(jax.make_jaxpr(jax.grad(loss))(pts))
     assert grad_txt.count("pallas_call") == 1, (
         "backward must be exactly one Pallas megakernel")
+
+
+def test_unfittable_config_falls_back(rng):
+    """A net too wide for any tile must make pick_chain_tile return None —
+    and the step's 'auto' gate then takes the per-eval path instead of
+    compiling an OOMing kernel (the round-3 failure mode, inverted)."""
+    from dynamic_video_depth_tpu.ops.pallas import pick_chain_tile
+
+    assert pick_chain_tile(132, (8192, 8192, 3), 8) is None
+
+    import dataclasses
+
+    from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
+    from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
+
+    import __graft_entry__ as g
+
+    cfg = TrainStepConfig(
+        lr=1e-4, scene_lr_mul=10.0, depth_net="tiny",
+        net_width=2048, n_layers=1, n_freq_xyz=2, n_freq_t=1,
+        loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                        use_disp=True, midas=False, interp_steps=5),
+        compute_dtype="float32",
+        use_pallas_sf="on", use_pallas_sf_chain="auto",
+        use_pallas_warp="off", use_pallas_loss="off",
+    )
+    step = SceneFlowMotionFieldStep(cfg)
+    # 2048-wide 1-layer net: bwd kernel does not fit any tile at gap 8 ->
+    # the auto gate must quietly use the per-eval path (and still train)
+    if pick_chain_tile(132, (2048, 2048, 3), 8) is not None:
+        pytest.skip("config unexpectedly fits; widen the net in this test")
+    batch = g._synthetic_batch(1, 16, 24, rng)
+    state = step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+    with pltpu.force_tpu_interpret_mode():
+        state, logs = step.train_step(state, batch, steps=8, warm=False)
+    assert np.isfinite(float(logs["loss"]))
