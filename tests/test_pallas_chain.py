@@ -314,8 +314,6 @@ def test_unfittable_config_falls_back(rng):
 
     assert pick_chain_tile(132, (8192, 8192, 3), 8) is None
 
-    import dataclasses
-
     from dynamic_video_depth_tpu.train import LossConfig, TrainStepConfig
     from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
 
