@@ -12,6 +12,7 @@ from __future__ import annotations
 import time
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.batches import collate_batches
@@ -400,10 +401,15 @@ class Trainer:
         losses, sizes = [], []
         for idx, dev, host in self._iter_batches(self.dataset_vali, range(n)):
             logs = self.model.vali_on_batch(epoch, idx, dev)
-            losses.append(float(logs["loss"]))
+            # keep the per-frame loss ON DEVICE: a float() here would block
+            # on a device roundtrip per frame, and on a tunneled backend
+            # those serial syncs cost more than the vali compute itself
+            losses.append(logs["loss"])
             sizes.append(int(logs.get("size", 1)))
             if self.visualize_fn is not None:
                 self.visualize_fn("vali", epoch, idx, dev, host, n_steps=n)
         total = max(sum(sizes), 1)
-        loss = float(np.sum(np.asarray(losses) * np.asarray(sizes)) / total)
+        losses = np.asarray(jnp.stack([jnp.asarray(x) for x in losses]),
+                            dtype=np.float64)
+        loss = float(np.sum(losses * np.asarray(sizes)) / total)
         return {"loss": loss, "size": total}

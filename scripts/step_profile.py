@@ -40,7 +40,8 @@ sys.path.insert(0, REPO)
 
 def capture(outdir: str, iters: int, wide: bool = False,
             dense_group_width: int = 16, merge_group_width: int = 128,
-            pallas: str = "auto", sf_chain: str = "auto", gap: int = 2):
+            pallas: str = "auto", sf_chain: str = "auto", gap: int = 2,
+            depth_net: str = ""):
     import jax
     import numpy as np
 
@@ -57,10 +58,11 @@ def capture(outdir: str, iters: int, wide: bool = False,
     from dynamic_video_depth_tpu.train.step import SceneFlowMotionFieldStep
     from dynamic_video_depth_tpu.train.loop import dispatch_with_retry
 
+    midas = depth_net in ("", "midas")
     cfg = TrainStepConfig(
-        lr=1e-6, scene_lr_mul=1000.0, midas=True,
+        lr=1e-6, scene_lr_mul=1000.0, midas=midas, depth_net=depth_net,
         loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
-                        sf_mag_div=100.0, use_disp=True, midas=True,
+                        sf_mag_div=100.0, use_disp=True, midas=midas,
                         interp_steps=5),
         compute_dtype="bfloat16",
         remat_depth=wide,
@@ -240,13 +242,18 @@ def main():
     ap.add_argument("--pallas", choices=("auto", "on", "off"),
                     default="auto",
                     help="force the fused kernels on/off for hardware A/Bs")
+    ap.add_argument("--depth-net", default="",
+                    choices=("", "midas", "hourglass", "tiny"),
+                    help="depth net to profile ('' = midas, the bench "
+                         "default; 'hourglass' = the reference's default "
+                         "net and our validation-run net)")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--top", type=int, default=15)
     a = ap.parse_args()
     if not a.analyze_only:
         capture(a.out, a.iters, a.wide,
                 a.dense_group_width, a.merge_group_width, a.pallas,
-                a.sf_chain, a.gap)
+                a.sf_chain, a.gap, a.depth_net)
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)
