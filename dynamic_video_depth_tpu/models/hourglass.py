@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.resize import upsample2x_bilinear
+from ..ops.s2d import s2d_same_conv
 
 # Inception branch configs (reference: third_party/hourglass.py:60-158).
 _E = ((64,), (3, 32, 64), (5, 32, 64), (7, 32, 64))        # 256 out
@@ -61,6 +62,47 @@ def _conv(features, kernel, padding=0, name=None):
     )
 
 
+class _S2DConv(nn.Module):
+    """Stride-1 ``same`` conv computed in 2x2 space-to-depth space
+    (ops/s2d.py). Parameter names, shapes, and init match nn.Conv exactly,
+    so checkpoint porting and fresh-init parity are untouched; only the
+    compute layout changes (exact — see the derivation in ops/s2d.py)."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return s2d_same_conv(x, w, b)
+
+
+def _branch_conv(features, kernel, h, w, s2d_min_pixels, name):
+    """``same`` k x k conv; s2d-densified when the shape is MXU-starved.
+
+    Policy (measured on v5e, scripts/step_profile.py --depth-net hourglass):
+    narrow outputs (4*cout <= 128 keeps the widened form within one MXU
+    lane pass) at large spatial extent are lane-starved (4 TF/s for the
+    full-res 64->16 branches); s2d trades 4*k'^2/k^2 FLOPs for 4x lanes and
+    a 4x deeper contraction. Small feature maps and wide outputs keep the
+    direct form.
+    """
+    if (
+        s2d_min_pixels > 0
+        and h % 2 == 0 and w % 2 == 0
+        and h * w >= s2d_min_pixels
+        and kernel >= 3
+        and 4 * features <= 128
+    ):
+        return _S2DConv(features=features, kernel=kernel, name=name)
+    return _conv(features, kernel, padding=(kernel - 1) // 2, name=name)
+
+
 def _bn_noaffine(name):
     return nn.BatchNorm(
         use_running_average=True, use_bias=False, use_scale=False,
@@ -73,18 +115,20 @@ class Inception(nn.Module):
     a 1x1 branch plus (1x1 -> kxk) branches, concatenated channel-last."""
 
     config: Tuple[Tuple[int, ...], ...]
+    s2d_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x):
+        _, h, w, _ = x.shape
         outs = []
         y = _conv(self.config[0][0], 1, name="convs__0__0")(x)
         y = _bn_noaffine("convs__0__1")(y)
         outs.append(nn.relu(y))
         for i, (filt, out_a, out_b) in enumerate(self.config[1:], start=1):
-            pad = (filt - 1) // 2
             y = _conv(out_a, 1, name=f"convs__{i}__0")(x)
             y = nn.relu(_bn_noaffine(f"convs__{i}__1")(y))
-            y = _conv(out_b, filt, padding=pad, name=f"convs__{i}__3")(y)
+            y = _branch_conv(out_b, filt, h, w, self.s2d_min_pixels,
+                             name=f"convs__{i}__3")(y)
             y = _bn_noaffine(f"convs__{i}__4")(y)
             outs.append(nn.relu(y))
         return jnp.concatenate(outs, axis=-1)
@@ -95,6 +139,7 @@ class Stage(nn.Module):
     (reference: Channels1..Channels4, third_party/hourglass.py:60-158)."""
 
     level: int
+    s2d_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x):
@@ -107,9 +152,11 @@ class Stage(nn.Module):
                 elif op[0] == "up":
                     y = upsample2x_bilinear(y, align_corners=True)
                 elif op[0] == "inc":
-                    y = Inception(op[1], name=f"list__{b}__{i}")(y)
+                    y = Inception(op[1], s2d_min_pixels=self.s2d_min_pixels,
+                                  name=f"list__{b}__{i}")(y)
                 elif op[0] == "stage":
-                    y = Stage(op[1], name=f"list__{b}__{i}")(y)
+                    y = Stage(op[1], s2d_min_pixels=self.s2d_min_pixels,
+                              name=f"list__{b}__{i}")(y)
             branch_outs.append(y)
         return branch_outs[0] + branch_outs[1]
 
@@ -122,14 +169,18 @@ class HourglassModel(nn.Module):
     """
 
     noexp: bool = False
+    # s2d-densify narrow branch convs on feature maps of at least this many
+    # pixels (0 = off; see _branch_conv / ops/s2d.py)
+    s2d_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x):
         y = _conv(128, 7, padding=3, name="seq__0")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="seq__1")(y)
         y = nn.relu(y)
-        y = Stage(4, name="seq__3")(y)
-        pred = _conv(1, 3, padding=1, name="pred_layer")(y)
+        y = Stage(4, s2d_min_pixels=self.s2d_min_pixels, name="seq__3")(y)
+        pred = _branch_conv(1, 3, y.shape[1], y.shape[2],
+                            self.s2d_min_pixels, name="pred_layer")(y)
         depth = pred if self.noexp else jnp.exp(pred)
         return depth[..., 0]
 
@@ -144,7 +195,10 @@ class HourglassModelEmbed(nn.Module):
     noexp: bool = False
     use_embedding: bool = False
     n_embedding: int = 100
+    s2d_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x, embed_index=None):
-        return HourglassModel(noexp=self.noexp, name="net_depth")(x)
+        return HourglassModel(noexp=self.noexp,
+                              s2d_min_pixels=self.s2d_min_pixels,
+                              name="net_depth")(x)

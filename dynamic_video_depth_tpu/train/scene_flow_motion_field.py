@@ -84,6 +84,11 @@ class Model:
                "groups of at least this many input lanes (0 = off; default "
                "128 fills the MXU's 128-lane contraction — measured 1.20x "
                "step win over grouped stages 3-4 on v5e)")
+        a("--s2d_min_pixels", type=int, default=16384,
+          help="hourglass: run narrow inception branch convs on feature "
+               "maps of >= this many pixels in 2x2 space-to-depth space "
+               "(exact; 4x MXU lanes for 4*k'^2/k^2 FLOPs — the spatial "
+               "analog of --dense_group_width). 0 = off.")
         for knob, what in (("sf", "fused scene-flow MLP (embedding "
                                   "in-kernel)"),
                            ("sf_chain", "Euler-chain megakernel (whole "
@@ -149,6 +154,7 @@ class Model:
             remat_depth=getattr(opt, "remat_depth", False),
             dense_group_width=getattr(opt, "dense_group_width", 16),
             merge_group_width=getattr(opt, "merge_group_width", 128),
+            s2d_min_pixels=getattr(opt, "s2d_min_pixels", 16384),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
             use_pallas_sf=getattr(opt, "use_pallas_sf", "auto"),
             use_pallas_sf_chain=getattr(opt, "use_pallas_sf_chain", "auto"),

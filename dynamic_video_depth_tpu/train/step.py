@@ -84,6 +84,10 @@ class TrainStepConfig:
     # for wider groups, merge adjacent groups into >=this-many-lane dense
     # blocks (0 = keep grouped)
     merge_group_width: int = 128
+    # hourglass: s2d-densify narrow full/half-res inception branch convs on
+    # feature maps of >= this many pixels (0 = off; models/hourglass.py
+    # _branch_conv + ops/s2d.py — the spatial analog of dense_group_width)
+    s2d_min_pixels: int = 16384
     # rematerialize the depth-net forward in the backward pass: trades ~1/3
     # more FLOPs for O(activations) less HBM — enables resolutions well past
     # the reference's <=384-wide protocol on a single chip
@@ -176,7 +180,8 @@ class SceneFlowMotionFieldStep:
             )
         else:
             self.net_depth = HourglassModelEmbed(
-                noexp=False, use_embedding=cfg.use_embedding
+                noexp=False, use_embedding=cfg.use_embedding,
+                s2d_min_pixels=cfg.s2d_min_pixels,
             )
         if cfg.use_cnn:
             self.net_sf = FCNUnet(

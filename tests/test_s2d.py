@@ -1,0 +1,82 @@
+"""Space-to-depth densified conv (ops/s2d.py) and its hourglass policy.
+
+The s2d form must be numerically the same conv (same params, same output,
+same gradients) — only the compute layout changes. Reference behavior being
+reproduced: third_party/hourglass.py:21-57 inception branch convs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_video_depth_tpu.models.hourglass import (
+    HourglassModel, _S2DConv, _branch_conv)
+from dynamic_video_depth_tpu.ops.s2d import (
+    depth_to_space, s2d_same_conv, space_to_depth)
+
+
+def _ref_conv(x, k_arr, b_arr, k):
+    pad = (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, k_arr, (1, 1), [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b_arr
+
+
+@pytest.mark.parametrize("k", [3, 5, 7, 11])
+def test_s2d_conv_matches_direct_conv(k):
+    rng = np.random.RandomState(k)
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    kern = jnp.asarray(rng.randn(k, k, 5, 3).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(3).astype(np.float32))
+
+    ref = _ref_conv(x, kern, bias, k)
+    out = s2d_same_conv(x, kern, bias)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+    cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+    g_ref = jax.grad(
+        lambda K, b, xx: (_ref_conv(xx, K, b, k) * cot).sum(),
+        argnums=(0, 1, 2))(kern, bias, x)
+    g_new = jax.grad(
+        lambda K, b, xx: (s2d_same_conv(xx, K, b) * cot).sum(),
+        argnums=(0, 1, 2))(kern, bias, x)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(a, b, atol=3e-4, rtol=1e-4)
+
+
+def test_s2d_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    np.testing.assert_array_equal(depth_to_space(space_to_depth(x)), x)
+
+
+def test_branch_conv_policy():
+    # full-res narrow branch -> s2d; small maps / wide outputs -> direct
+    assert isinstance(_branch_conv(16, 11, 224, 384, 16384, "a"), _S2DConv)
+    assert isinstance(_branch_conv(32, 7, 112, 192, 16384, "b"), _S2DConv)
+    assert not isinstance(_branch_conv(16, 11, 56, 96, 16384, "c"), _S2DConv)
+    assert not isinstance(_branch_conv(64, 7, 224, 384, 16384, "d"), _S2DConv)
+    assert not isinstance(_branch_conv(16, 11, 224, 384, 0, "e"), _S2DConv)
+    # odd spatial extent cannot space-to-depth
+    assert not isinstance(_branch_conv(16, 3, 225, 384, 16384, "f"), _S2DConv)
+
+
+def test_hourglass_s2d_path_matches_direct():
+    """Same params -> same depth map with the s2d policy on vs off, at a
+    resolution where the full-res branches engage (128x192 >= 16384 px)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
+    direct = HourglassModel(s2d_min_pixels=0)
+    s2d = HourglassModel(s2d_min_pixels=16384)
+
+    v_direct = direct.init(jax.random.PRNGKey(0), x)
+    v_s2d = s2d.init(jax.random.PRNGKey(0), x)
+    # identical parameter trees (structure AND values): the s2d module holds
+    # the plain nn.Conv parameterization
+    jax.tree.map(np.testing.assert_array_equal, v_direct, v_s2d)
+
+    y_direct = direct.apply(v_direct, x)
+    y_s2d = s2d.apply(v_direct, x)
+    np.testing.assert_allclose(y_s2d, y_direct, atol=1e-4, rtol=1e-4)
