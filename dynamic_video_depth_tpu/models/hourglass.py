@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import upsample2x_bilinear
@@ -110,25 +111,86 @@ def _bn_noaffine(name):
     )
 
 
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv's names/shapes/inits. Used by the
+    merged-reducer path so checkpoint porting (models/torch_port.py) and
+    fresh-init RNG paths are bit-identical to the unmerged nn.Conv modules
+    at the same scope names."""
+
+    shape: Tuple[int, int, int, int]  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.shape[-1],))
+        return k, b
+
+
+class _BNStats(nn.Module):
+    """Running-stat container matching affine-free nn.BatchNorm's variable
+    names, shapes, and float32 init."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        m = self.variable("batch_stats", "mean",
+                          lambda: jnp.zeros((self.features,), jnp.float32))
+        v = self.variable("batch_stats", "var",
+                          lambda: jnp.ones((self.features,), jnp.float32))
+        return m.value, v.value
+
+
 class Inception(nn.Module):
     """Inception module (reference: third_party/hourglass.py:21-57):
-    a 1x1 branch plus (1x1 -> kxk) branches, concatenated channel-last."""
+    a 1x1 branch plus (1x1 -> kxk) branches, concatenated channel-last.
+
+    ``merge_reducers`` computes the four parallel 1x1 reducer convs (and
+    their affine-free BNs + relu) as ONE concatenated conv + one
+    elementwise stage, then slices the result per branch. Exact: each
+    output channel's contraction over the (shared) input is unchanged;
+    only the launch granularity widens (e.g. 4x32 -> one 128-lane output
+    block, a full MXU lane pass instead of four quarter passes). Parameters
+    keep the per-branch checkpoint layout via _ConvParams/_BNStats.
+    """
 
     config: Tuple[Tuple[int, ...], ...]
     s2d_min_pixels: int = 16384
+    merge_reducers: bool = True
 
     @nn.compact
     def __call__(self, x):
-        _, h, w, _ = x.shape
-        outs = []
-        y = _conv(self.config[0][0], 1, name="convs__0__0")(x)
-        y = _bn_noaffine("convs__0__1")(y)
-        outs.append(nn.relu(y))
-        for i, (filt, out_a, out_b) in enumerate(self.config[1:], start=1):
-            y = _conv(out_a, 1, name=f"convs__{i}__0")(x)
-            y = nn.relu(_bn_noaffine(f"convs__{i}__1")(y))
+        _, h, w, cin = x.shape
+        widths = [cfg[0] if len(cfg) == 1 else cfg[1] for cfg in self.config]
+        if self.merge_reducers:
+            ks, bs, ms, vs = [], [], [], []
+            for i, wd in enumerate(widths):
+                k, b = _ConvParams((1, 1, cin, wd), name=f"convs__{i}__0")()
+                m, v = _BNStats(wd, name=f"convs__{i}__1")()
+                ks.append(k), bs.append(b), ms.append(m), vs.append(v)
+            wk = jnp.concatenate(ks, axis=-1).astype(x.dtype)
+            wb = jnp.concatenate(bs, axis=-1).astype(x.dtype)
+            mm = jnp.concatenate(ms, axis=-1).astype(x.dtype)
+            vv = jnp.concatenate(vs, axis=-1).astype(x.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, wk, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + wb
+            y = nn.relu((y - mm) * jax.lax.rsqrt(vv + 1e-5))
+            offs = [0]
+            for wd in widths:
+                offs.append(offs[-1] + wd)
+            reduced = [y[..., offs[i]:offs[i + 1]]
+                       for i in range(len(widths))]
+        else:
+            reduced = []
+            for i, wd in enumerate(widths):
+                y = _conv(wd, 1, name=f"convs__{i}__0")(x)
+                reduced.append(nn.relu(_bn_noaffine(f"convs__{i}__1")(y)))
+        outs = [reduced[0]]
+        for i, (filt, _, out_b) in enumerate(self.config[1:], start=1):
             y = _branch_conv(out_b, filt, h, w, self.s2d_min_pixels,
-                             name=f"convs__{i}__3")(y)
+                             name=f"convs__{i}__3")(reduced[i])
             y = _bn_noaffine(f"convs__{i}__4")(y)
             outs.append(nn.relu(y))
         return jnp.concatenate(outs, axis=-1)
@@ -140,6 +202,7 @@ class Stage(nn.Module):
 
     level: int
     s2d_min_pixels: int = 16384
+    merge_reducers: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -153,9 +216,11 @@ class Stage(nn.Module):
                     y = upsample2x_bilinear(y, align_corners=True)
                 elif op[0] == "inc":
                     y = Inception(op[1], s2d_min_pixels=self.s2d_min_pixels,
+                                  merge_reducers=self.merge_reducers,
                                   name=f"list__{b}__{i}")(y)
                 elif op[0] == "stage":
                     y = Stage(op[1], s2d_min_pixels=self.s2d_min_pixels,
+                              merge_reducers=self.merge_reducers,
                               name=f"list__{b}__{i}")(y)
             branch_outs.append(y)
         return branch_outs[0] + branch_outs[1]
@@ -172,13 +237,17 @@ class HourglassModel(nn.Module):
     # s2d-densify narrow branch convs on feature maps of at least this many
     # pixels (0 = off; see _branch_conv / ops/s2d.py)
     s2d_min_pixels: int = 16384
+    # compute each inception's four 1x1 reducer convs as one concatenated
+    # conv (exact; see Inception)
+    merge_reducers: bool = True
 
     @nn.compact
     def __call__(self, x):
         y = _conv(128, 7, padding=3, name="seq__0")(x)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="seq__1")(y)
         y = nn.relu(y)
-        y = Stage(4, s2d_min_pixels=self.s2d_min_pixels, name="seq__3")(y)
+        y = Stage(4, s2d_min_pixels=self.s2d_min_pixels,
+                  merge_reducers=self.merge_reducers, name="seq__3")(y)
         pred = _branch_conv(1, 3, y.shape[1], y.shape[2],
                             self.s2d_min_pixels, name="pred_layer")(y)
         depth = pred if self.noexp else jnp.exp(pred)
@@ -196,9 +265,11 @@ class HourglassModelEmbed(nn.Module):
     use_embedding: bool = False
     n_embedding: int = 100
     s2d_min_pixels: int = 16384
+    merge_reducers: bool = True
 
     @nn.compact
     def __call__(self, x, embed_index=None):
         return HourglassModel(noexp=self.noexp,
                               s2d_min_pixels=self.s2d_min_pixels,
+                              merge_reducers=self.merge_reducers,
                               name="net_depth")(x)

@@ -89,6 +89,11 @@ class Model:
                "maps of >= this many pixels in 2x2 space-to-depth space "
                "(exact; 4x MXU lanes for 4*k'^2/k^2 FLOPs — the spatial "
                "analog of --dense_group_width). 0 = off.")
+        a("--merge_reducers", type=int, default=1,
+          help="hourglass: compute each inception's four parallel 1x1 "
+               "reducer convs + BNs + relu as ONE concatenated conv + one "
+               "elementwise stage (exact; widens 32-lane output blocks to "
+               "a full 128-lane MXU pass). 0 = off.")
         for knob, what in (("sf", "fused scene-flow MLP (embedding "
                                   "in-kernel)"),
                            ("sf_chain", "Euler-chain megakernel (whole "
@@ -155,6 +160,7 @@ class Model:
             dense_group_width=getattr(opt, "dense_group_width", 16),
             merge_group_width=getattr(opt, "merge_group_width", 128),
             s2d_min_pixels=getattr(opt, "s2d_min_pixels", 16384),
+            merge_reducers=bool(getattr(opt, "merge_reducers", 1)),
             log_grad_stats=getattr(opt, "log_grad_stats", False),
             use_pallas_sf=getattr(opt, "use_pallas_sf", "auto"),
             use_pallas_sf_chain=getattr(opt, "use_pallas_sf_chain", "auto"),

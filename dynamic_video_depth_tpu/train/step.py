@@ -88,6 +88,10 @@ class TrainStepConfig:
     # feature maps of >= this many pixels (0 = off; models/hourglass.py
     # _branch_conv + ops/s2d.py — the spatial analog of dense_group_width)
     s2d_min_pixels: int = 16384
+    # hourglass: compute each inception's four parallel 1x1 reducer convs
+    # (+ affine-free BNs + relu) as ONE concatenated conv + one elementwise
+    # stage (exact; models/hourglass.py Inception)
+    merge_reducers: bool = True
     # rematerialize the depth-net forward in the backward pass: trades ~1/3
     # more FLOPs for O(activations) less HBM — enables resolutions well past
     # the reference's <=384-wide protocol on a single chip
@@ -182,6 +186,7 @@ class SceneFlowMotionFieldStep:
             self.net_depth = HourglassModelEmbed(
                 noexp=False, use_embedding=cfg.use_embedding,
                 s2d_min_pixels=cfg.s2d_min_pixels,
+                merge_reducers=cfg.merge_reducers,
             )
         if cfg.use_cnn:
             self.net_sf = FCNUnet(

@@ -41,7 +41,8 @@ sys.path.insert(0, REPO)
 def capture(outdir: str, iters: int, wide: bool = False,
             dense_group_width: int = 16, merge_group_width: int = 128,
             pallas: str = "auto", sf_chain: str = "auto", gap: int = 2,
-            depth_net: str = "", s2d_min_pixels: int = 16384):
+            depth_net: str = "", s2d_min_pixels: int = 16384,
+            merge_reducers: bool = True):
     import jax
     import numpy as np
 
@@ -69,6 +70,7 @@ def capture(outdir: str, iters: int, wide: bool = False,
         dense_group_width=dense_group_width,
         merge_group_width=merge_group_width,
         s2d_min_pixels=s2d_min_pixels,
+        merge_reducers=merge_reducers,
         use_pallas_sf=pallas, use_pallas_warp=pallas, use_pallas_loss=pallas,
         use_pallas_sf_chain=sf_chain,
     )
@@ -238,6 +240,8 @@ def main():
     ap.add_argument("--merge-group-width", type=int, default=128)
     ap.add_argument("--s2d-min-pixels", type=int, default=16384,
                     help="hourglass s2d densification threshold (0 = off)")
+    ap.add_argument("--merge-reducers", type=int, default=1,
+                    help="hourglass merged 1x1 reducer convs (0 = off)")
     ap.add_argument("--sf-chain", choices=("auto", "on", "off"),
                     default="auto",
                     help="Euler-chain megakernel A/B (auto = follow "
@@ -256,7 +260,8 @@ def main():
     if not a.analyze_only:
         capture(a.out, a.iters, a.wide,
                 a.dense_group_width, a.merge_group_width, a.pallas,
-                a.sf_chain, a.gap, a.depth_net, a.s2d_min_pixels)
+                a.sf_chain, a.gap, a.depth_net, a.s2d_min_pixels,
+                bool(a.merge_reducers))
     events, path = load_trace(a.out)
     print(f"analyzing {path}")
     analyze(events, top=a.top, json_out=a.json)

@@ -80,3 +80,36 @@ def test_hourglass_s2d_path_matches_direct():
     y_direct = direct.apply(v_direct, x)
     y_s2d = s2d.apply(v_direct, x)
     np.testing.assert_allclose(y_s2d, y_direct, atol=1e-4, rtol=1e-4)
+
+
+def test_hourglass_merged_reducers_matches_unmerged():
+    """merge_reducers computes the four parallel 1x1 reducer convs + BNs as
+    one concatenated conv + one elementwise stage. Same params (incl.
+    nontrivial running stats) -> same depth map and same input gradient,
+    and the fresh-init trees are bit-identical (same RNG paths)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    merged = HourglassModel(merge_reducers=True)
+    plain = HourglassModel(merge_reducers=False)
+
+    v_merged = merged.init(jax.random.PRNGKey(0), x)
+    v_plain = plain.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(np.testing.assert_array_equal, v_merged, v_plain)
+
+    # nontrivial running stats so the merged BN stage is actually exercised
+    stats = jax.tree.map(
+        lambda s: jnp.asarray(
+            0.5 + rng.rand(*s.shape).astype(np.float32)),
+        v_plain["batch_stats"])
+    v = {"params": v_plain["params"], "batch_stats": stats}
+
+    def f_merged(xx):
+        return jnp.sum(merged.apply(v, xx) ** 2)
+
+    def f_plain(xx):
+        return jnp.sum(plain.apply(v, xx) ** 2)
+
+    y_m, g_m = jax.value_and_grad(f_merged)(x)
+    y_p, g_p = jax.value_and_grad(f_plain)(x)
+    np.testing.assert_allclose(y_m, y_p, rtol=2e-5)
+    np.testing.assert_allclose(g_m, g_p, atol=1e-4, rtol=1e-3)
