@@ -71,6 +71,7 @@ class _S2DConv(nn.Module):
 
     features: int
     kernel: int
+    s: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +81,7 @@ class _S2DConv(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        return s2d_same_conv(x, w, b)
+        return s2d_same_conv(x, w, b, s=self.s)
 
 
 def _branch_conv(features, kernel, h, w, s2d_min_pixels, name):
@@ -100,6 +101,9 @@ def _branch_conv(features, kernel, h, w, s2d_min_pixels, name):
         and kernel >= 3
         and 4 * features <= 128
     ):
+        # measured dead ends on v5e (kept out deliberately): 4x4 s2d on the
+        # k>=7 narrow branches (3.3x FLOPs at k=11 beats the extra lanes:
+        # 33.7 -> 35.5 ms), and s2d on the 7x7 cin=3 stem (no change).
         return _S2DConv(features=features, kernel=kernel, name=name)
     return _conv(features, kernel, padding=(kernel - 1) // 2, name=name)
 

@@ -24,15 +24,16 @@ def _ref_conv(x, k_arr, b_arr, k):
     return y + b_arr
 
 
+@pytest.mark.parametrize("s", [2, 4])
 @pytest.mark.parametrize("k", [3, 5, 7, 11])
-def test_s2d_conv_matches_direct_conv(k):
+def test_s2d_conv_matches_direct_conv(k, s):
     rng = np.random.RandomState(k)
     x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
     kern = jnp.asarray(rng.randn(k, k, 5, 3).astype(np.float32) * 0.1)
     bias = jnp.asarray(rng.randn(3).astype(np.float32))
 
     ref = _ref_conv(x, kern, bias, k)
-    out = s2d_same_conv(x, kern, bias)
+    out = s2d_same_conv(x, kern, bias, s=s)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
     cot = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
@@ -40,7 +41,7 @@ def test_s2d_conv_matches_direct_conv(k):
         lambda K, b, xx: (_ref_conv(xx, K, b, k) * cot).sum(),
         argnums=(0, 1, 2))(kern, bias, x)
     g_new = jax.grad(
-        lambda K, b, xx: (s2d_same_conv(xx, K, b) * cot).sum(),
+        lambda K, b, xx: (s2d_same_conv(xx, K, b, s=s) * cot).sum(),
         argnums=(0, 1, 2))(kern, bias, x)
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(a, b, atol=3e-4, rtol=1e-4)
