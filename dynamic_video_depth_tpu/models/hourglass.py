@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import upsample2x_bilinear
-from ..ops.s2d import s2d_same_conv
+from ..ops.s2d import (d2s_conv, s2d_fused_1x1_kernel, s2d_same_conv,
+                       s2d_space_conv)
 
 # Inception branch configs (reference: third_party/hourglass.py:60-158).
 _E = ((64,), (3, 32, 64), (5, 32, 64), (7, 32, 64))        # 256 out
@@ -157,16 +158,43 @@ class Inception(nn.Module):
     only the launch granularity widens (e.g. 4x32 -> one 128-lane output
     block, a full MXU lane pass instead of four quarter passes). Parameters
     keep the per-branch checkpoint layout via _ConvParams/_BNStats.
+
+    When every k-branch qualifies for s2d densification (and the reducers
+    are merged), the whole inception runs as ONE s2d region: the merged
+    reducer output is space-to-depth'd once in channel-major layout
+    (ops/s2d.py ``order='ci'`` — branch channel slices stay contiguous),
+    every branch conv + BN + relu and the output concat happen in s2d
+    space, and one depth-to-space closes the region. Exact per branch (the
+    same s2d conv as _S2DConv); it removes 2 of every 3 s2d relayout
+    transposes (measured 7.1 ms/step of the 33.7 ms hourglass step was
+    s2d/layout copies, scripts/step_profile.py --depth-net hourglass).
     """
 
     config: Tuple[Tuple[int, ...], ...]
     s2d_min_pixels: int = 16384
     merge_reducers: bool = True
 
+    def _qualifies_s2d(self, h, w, kernel, features):
+        """Mirror of _branch_conv's s2d policy (one source of truth for the
+        thresholds would hide which path a config takes; keep in sync)."""
+        return (
+            self.s2d_min_pixels > 0
+            and h % 2 == 0 and w % 2 == 0
+            and h * w >= self.s2d_min_pixels
+            and kernel >= 3
+            and 4 * features <= 128
+        )
+
     @nn.compact
     def __call__(self, x):
         _, h, w, cin = x.shape
         widths = [cfg[0] if len(cfg) == 1 else cfg[1] for cfg in self.config]
+        fuse_s2d = (
+            self.merge_reducers
+            and len(self.config) > 1
+            and all(self._qualifies_s2d(h, w, filt, out_b)
+                    for filt, _, out_b in self.config[1:])
+        )
         if self.merge_reducers:
             ks, bs, ms, vs = [], [], [], []
             for i, wd in enumerate(widths):
@@ -177,13 +205,37 @@ class Inception(nn.Module):
             wb = jnp.concatenate(bs, axis=-1).astype(x.dtype)
             mm = jnp.concatenate(ms, axis=-1).astype(x.dtype)
             vv = jnp.concatenate(vs, axis=-1).astype(x.dtype)
+            offs = [0]
+            for wd in widths:
+                offs.append(offs[-1] + wd)
+            if fuse_s2d:
+                # s2d is fused INTO the reducer conv (stride-2, ci-major
+                # output channels) and d2s into one identity conv at the
+                # region end — no transpose op ever materializes.
+                ys = jax.lax.conv_general_dilated(
+                    x, s2d_fused_1x1_kernel(wk), (2, 2), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                ys = ys + jnp.repeat(wb, 4)
+                ys = nn.relu((ys - jnp.repeat(mm, 4))
+                             * jax.lax.rsqrt(jnp.repeat(vv, 4) + 1e-5))
+                outs = [ys[..., : 4 * widths[0]]]
+                for i, (filt, wd, out_b) in enumerate(self.config[1:],
+                                                      start=1):
+                    k, b = _ConvParams((filt, filt, wd, out_b),
+                                       name=f"convs__{i}__3")()
+                    m, v = _BNStats(out_b, name=f"convs__{i}__4")()
+                    yb = s2d_space_conv(
+                        ys[..., 4 * offs[i]:4 * offs[i + 1]], k, 2, "ci")
+                    yb = yb + jnp.repeat(b, 4).astype(yb.dtype)
+                    yb = (yb - jnp.repeat(m, 4).astype(yb.dtype)) \
+                        * jax.lax.rsqrt(jnp.repeat(v, 4).astype(yb.dtype)
+                                        + 1e-5)
+                    outs.append(nn.relu(yb))
+                return d2s_conv(jnp.concatenate(outs, axis=-1), 2)
             y = jax.lax.conv_general_dilated(
                 x, wk, (1, 1), [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + wb
             y = nn.relu((y - mm) * jax.lax.rsqrt(vv + 1e-5))
-            offs = [0]
-            for wd in widths:
-                offs.append(offs[-1] + wd)
             reduced = [y[..., offs[i]:offs[i + 1]]
                        for i in range(len(widths))]
         else:

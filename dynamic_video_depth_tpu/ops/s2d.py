@@ -38,19 +38,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def space_to_depth(x: jnp.ndarray, s: int = 2) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, H/s, W/s, s*s*C]; channel = (a*s + b)*C + ci."""
+def space_to_depth(x: jnp.ndarray, s: int = 2,
+                   order: str = "phase") -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/s, W/s, s*s*C].
+
+    ``order='phase'``: channel = (a*s + b)*C + ci (phase-major).
+    ``order='ci'``: channel = ci*s*s + (a*s + b) (channel-major) — a slice of
+    the first ``k`` original channels stays a contiguous slice of the first
+    ``s*s*k`` s2d channels, which is what lets an inception region share ONE
+    s2d transform across branches (models/hourglass.py::Inception).
+    """
     b, h, w, c = x.shape
     x = x.reshape(b, h // s, s, w // s, s, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+    perm = (0, 1, 3, 2, 4, 5) if order == "phase" else (0, 1, 3, 5, 2, 4)
+    return x.transpose(*perm).reshape(b, h // s, w // s, s * s * c)
 
 
-def depth_to_space(y: jnp.ndarray, s: int = 2) -> jnp.ndarray:
-    """Inverse of :func:`space_to_depth`."""
+def depth_to_space(y: jnp.ndarray, s: int = 2,
+                   order: str = "phase") -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth` (same ``order``)."""
     b, hh, ww, cc = y.shape
     c = cc // (s * s)
-    y = y.reshape(b, hh, ww, s, s, c)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * s, ww * s, c)
+    if order == "phase":
+        y = y.reshape(b, hh, ww, s, s, c)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * s, ww * s, c)
+    y = y.reshape(b, hh, ww, c, s, s)
+    return y.transpose(0, 1, 4, 2, 5, 3).reshape(b, hh * s, ww * s, c)
 
 
 @functools.lru_cache(maxsize=None)
@@ -85,9 +98,11 @@ def _tap_map(k: int, s: int):
     return idx, -lo
 
 
-def s2d_dense_kernel(kernel: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+def s2d_dense_kernel(kernel: jnp.ndarray, s: int = 2,
+                     order: str = "phase") -> jnp.ndarray:
     """Embed ``[k, k, cin, cout]`` into the dense s2d form
-    ``[k', k', s*s*cin, s*s*cout]`` (differentiable; static indices)."""
+    ``[k', k', s*s*cin, s*s*cout]`` (differentiable; static indices).
+    ``order`` selects the s2d channel layout (see :func:`space_to_depth`)."""
     k, _, cin, cout = kernel.shape
     idx, _ = _tap_map(k, s)
     kp = idx.shape[0]
@@ -96,9 +111,75 @@ def s2d_dense_kernel(kernel: jnp.ndarray, s: int = 2) -> jnp.ndarray:
     # [I, a, c, J, b, d, ci, co]
     dense = padded[idx[:, :, :, None, None, None],
                    idx[None, None, None, :, :, :]]
-    # -> [I, J, a, b, ci, c, d, co]
-    dense = dense.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    if order == "phase":
+        # -> [I, J, a, b, ci, c, d, co]
+        dense = dense.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    else:
+        # -> [I, J, ci, a, b, co, c, d]
+        dense = dense.transpose(0, 3, 6, 1, 4, 7, 2, 5)
     return dense.reshape(kp, kp, s * s * cin, s * s * cout)
+
+
+def s2d_space_conv(xs: jnp.ndarray, kernel: jnp.ndarray, s: int = 2,
+                   order: str = "phase") -> jnp.ndarray:
+    """Conv applied to an ALREADY space-to-depth'd input: ``xs``
+    [B, H/s, W/s, s*s*cin] with original kernel [k, k, cin, cout] ->
+    [B, H/s, W/s, s*s*cout] in the same s2d layout. No bias (the caller
+    broadcasts it in s2d channel order)."""
+    k = kernel.shape[0]
+    _, r_pad = _tap_map(k, s)
+    dense = s2d_dense_kernel(kernel.astype(xs.dtype), s, order)
+    return jax.lax.conv_general_dilated(
+        xs,
+        dense,
+        window_strides=(1, 1),
+        padding=[(r_pad, r_pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _phase_eye(s: int, dtype) -> jnp.ndarray:
+    """E[a, b, p] = 1 where p == a*s + b (the s2d phase indicator)."""
+    return jnp.eye(s * s, dtype=dtype).reshape(s, s, s * s)
+
+
+def s2d_fused_1x1_kernel(kernel: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+    """Expand a 1x1 conv kernel [1, 1, cin, cout] to [s, s, cin, s*s*cout]
+    so that a stride-s conv with it computes ``space_to_depth(conv1x1(x),
+    order='ci')`` in ONE MXU pass — the s2d relayout never exists as a
+    transpose op (measured: explicit ci-major transposes run at ~0.4 GB/s
+    on this backend's data-formatting path; the conv runs at MXU rate).
+    Each original output value is computed exactly once (output channel
+    (co, p) reads only input pixel p of its 2x2 block), so the result is
+    the unfused conv's bit-for-bit values in a different layout."""
+    w = kernel[0, 0]  # [cin, cout]
+    e = _phase_eye(s, w.dtype)
+    out = w[None, None, :, :, None] * e[:, :, None, None, :]
+    return out.reshape(s, s, w.shape[0], w.shape[1] * s * s)
+
+
+def d2s_conv(y: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+    """``depth_to_space(y, order='ci')`` as an lhs-dilated identity conv
+    ([B, H', W', s*s*C] -> [B, s*H', s*W', C]) — MXU data movement instead
+    of a transpose op. Exact: each output pixel copies exactly one input
+    value (identity kernel, structural zeros elsewhere); precision pinned
+    HIGHEST so the copy never rounds f32 operands to bf16."""
+    c = y.shape[-1] // (s * s)
+    # k[u, v, ci*s*s + p, co] = delta(ci, co) * delta(p, (s-1-u)*s + (s-1-v)):
+    # with lhs_dilation s and padding s-1, output pixel s*i + a reads dilated
+    # position s*i through kernel tap u = (s-1) - a.
+    e = _phase_eye(s, y.dtype)[::-1, ::-1, :]
+    eye = jnp.eye(c, dtype=y.dtype)
+    k = eye[None, None, :, None, :] * e[:, :, None, :, None]
+    k = k.reshape(s, s, c * s * s, c)
+    return jax.lax.conv_general_dilated(
+        y, k,
+        window_strides=(1, 1),
+        padding=[(s - 1, s - 1)] * 2,
+        lhs_dilation=(s, s),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def s2d_same_conv(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -107,17 +188,7 @@ def s2d_same_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     [k, k, cin, cout], computed in s2d space. Exact (up to float summation
     order) vs ``lax.conv`` with ``same`` padding; requires H % s == W % s == 0
     and odd k."""
-    k = kernel.shape[0]
-    _, r_pad = _tap_map(k, s)
-    dense = s2d_dense_kernel(kernel.astype(x.dtype), s)
-    y = jax.lax.conv_general_dilated(
-        space_to_depth(x, s),
-        dense,
-        window_strides=(1, 1),
-        padding=[(r_pad, r_pad)] * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = depth_to_space(y, s)
+    y = depth_to_space(s2d_space_conv(space_to_depth(x, s), kernel, s), s)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
