@@ -98,25 +98,52 @@ def _tap_map(k: int, s: int):
     return idx, -lo
 
 
+@functools.lru_cache(maxsize=None)
+def _selector(k: int, s: int):
+    """One-hot expansion tensor ``S[i, j, I, J, A, C]`` with phase indices
+    ``A = a*s + b`` (input), ``C = c*s + d`` (output): 1 where the s2d tap
+    ``(I, J, A, C)`` reads original tap ``(i, j)``. At most one ``(i, j)``
+    per slot, so a contraction against it reproduces the gather exactly."""
+    idx, _ = _tap_map(k, s)
+    kp = idx.shape[0]
+    sel = np.zeros((k, k, kp, kp, s * s, s * s), dtype=np.float32)
+    for I in range(kp):
+        for J in range(kp):
+            for a in range(s):
+                for b in range(s):
+                    for c in range(s):
+                        for d in range(s):
+                            i, j = idx[I, a, c], idx[J, b, d]
+                            if i < k and j < k:
+                                sel[i, j, I, J, a * s + b, c * s + d] = 1.0
+    return sel
+
+
 def s2d_dense_kernel(kernel: jnp.ndarray, s: int = 2,
                      order: str = "phase") -> jnp.ndarray:
     """Embed ``[k, k, cin, cout]`` into the dense s2d form
-    ``[k', k', s*s*cin, s*s*cout]`` (differentiable; static indices).
-    ``order`` selects the s2d channel layout (see :func:`space_to_depth`)."""
+    ``[k', k', s*s*cin, s*s*cout]`` (differentiable; exact — each output
+    slot receives at most one original tap).
+    ``order`` selects the s2d channel layout (see :func:`space_to_depth`).
+
+    Implemented as ONE contraction against a constant one-hot selector
+    rather than an advanced-indexing gather: the gather form lowered to 8-D
+    minor-dim-2 transposes at ~1 GB/s on the forward AND scatter-adds on the
+    backward — measured 4.5 ms/step of kernel-(re)expansion data formatting
+    in the hourglass train step. The einsum's adjoint is another einsum
+    (a dot, MXU work), so both directions stay off the data-formatting path.
+    """
     k, _, cin, cout = kernel.shape
-    idx, _ = _tap_map(k, s)
-    kp = idx.shape[0]
-    padded = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
-    idx = jnp.asarray(idx)
-    # [I, a, c, J, b, d, ci, co]
-    dense = padded[idx[:, :, :, None, None, None],
-                   idx[None, None, None, :, :, :]]
+    sel = jnp.asarray(_selector(k, s), dtype=kernel.dtype)
+    kp = sel.shape[2]
     if order == "phase":
-        # -> [I, J, a, b, ci, c, d, co]
-        dense = dense.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+        # channel = A*cin + ci (phase-major)
+        dense = jnp.einsum("ijIJAC,ijxy->IJAxCy", sel, kernel,
+                           precision=jax.lax.Precision.HIGHEST)
     else:
-        # -> [I, J, ci, a, b, co, c, d]
-        dense = dense.transpose(0, 3, 6, 1, 4, 7, 2, 5)
+        # channel = ci*s*s + A (channel-major)
+        dense = jnp.einsum("ijIJAC,ijxy->IJxAyC", sel, kernel,
+                           precision=jax.lax.Precision.HIGHEST)
     return dense.reshape(kp, kp, s * s * cin, s * s * cout)
 
 
