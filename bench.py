@@ -231,6 +231,34 @@ def main():
                / batch_matrix["1"]["pairs_per_s"])
     gap_ms = {str(g): round(timed(1, steps=g), 2) for g in (1, 4, 8)}
 
+    # ---- hourglass leg: the reference's DEFAULT depth net ----------------
+    # (third_party/hourglass.py; --depth_net hourglass). Same canonical
+    # shape/protocol so the number tracks the s2d/merged-reducer work.
+    hg_cfg = TrainStepConfig(
+        lr=1e-6, scene_lr_mul=1000.0, midas=False, depth_net="hourglass",
+        loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
+                        sf_mag_div=100.0, use_disp=True, midas=False,
+                        interp_steps=5),
+        compute_dtype="bfloat16",
+    )
+    hg_step = SceneFlowMotionFieldStep(hg_cfg)
+    hg_state = hg_step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+    hg_state, hg_logs = dispatch_with_retry(
+        lambda: hg_step.train_step(hg_state, batch, steps=gap, warm=False),
+        "bench hourglass compile")
+    hg_state, hg_logs = hg_step.train_step(hg_state, batch, steps=gap,
+                                           warm=False)
+    _ = float(hg_logs["loss"])
+    hg_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            hg_state, hg_logs = hg_step.train_step(hg_state, batch,
+                                                   steps=gap, warm=False)
+        _ = float(hg_logs["loss"])
+        hg_times.append((time.perf_counter() - t0) / 8 * 1e3)
+    hourglass_ms = float(np.median(hg_times))
+
     print(json.dumps({
         "metric": "davis_train_step_224x384_gap2",
         "value": round(dt_median, 3),
@@ -245,6 +273,7 @@ def main():
         "batch_matrix": batch_matrix,
         "throughput_per_chip_gain_batch4": round(gain_b4, 2),
         "gap_step_ms": gap_ms,
+        "hourglass_step_ms": round(hourglass_ms, 2),
     }))
 
 
