@@ -198,42 +198,49 @@ def main():
         scan_times.append((time.perf_counter() - t0) / K * 1e3)
     scan_ms = float(np.median(scan_times))
 
-    # ---- throughput matrix (VERDICT r2 item 1a) -------------------------
+    # ---- throughput matrices (VERDICT r2 item 1a, r4 items 1+3) ---------
     # batch scaling: larger pair batches raise MXU occupancy — the
     # throughput-per-chip lever at the reference's batch-1 protocol. Same
     # config/shapes as the canonical probe so the persistent compile cache
-    # amortizes the variants across runs.
-    def timed(bsz, steps):
-        b = _synthetic_batch(bsz, h, w, rng)
-        nonlocal state
-        state, lg = dispatch_with_retry(
-            lambda: step.train_step(state, b, steps=steps, warm=False),
-            f"bench matrix compile (batch {bsz}, gap {steps})")
-        state, lg = step.train_step(state, b, steps=steps, warm=False)
+    # amortizes the variants across runs. One timing helper shared by every
+    # (net, batch, gap) leg (ADVICE r4).
+    states = {}
+
+    def timed(stp, key, bsz, steps):
+        b = batch if bsz == 1 else _synthetic_batch(bsz, h, w, rng)
+        st = states[key]
+        st, lg = dispatch_with_retry(
+            lambda: stp.train_step(st, b, steps=steps, warm=False),
+            f"bench matrix compile ({key}, batch {bsz}, gap {steps})")
+        st, lg = stp.train_step(st, b, steps=steps, warm=False)
         _ = float(lg["loss"])
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(8):
-                state, lg = step.train_step(state, b, steps=steps, warm=False)
+                st, lg = stp.train_step(st, b, steps=steps, warm=False)
             _ = float(lg["loss"])
             ts.append((time.perf_counter() - t0) / 8 * 1e3)
+        states[key] = st
         return float(np.median(ts))
 
-    batch_matrix = {}
-    for bsz in (1, 2, 4):
-        ms = timed(bsz, steps=gap)
-        batch_matrix[str(bsz)] = {
-            "step_ms": round(ms, 2),
-            "pairs_per_s": round(bsz / (ms / 1e3), 2),
-        }
-    gain_b4 = (batch_matrix["4"]["pairs_per_s"]
-               / batch_matrix["1"]["pairs_per_s"])
-    gap_ms = {str(g): round(timed(1, steps=g), 2) for g in (1, 4, 8)}
+    def batch_row(stp, key, bsz, steps):
+        ms = timed(stp, key, bsz, steps)
+        return {"step_ms": round(ms, 2),
+                "pairs_per_s": round(bsz / (ms / 1e3), 2)}
 
-    # ---- hourglass leg: the reference's DEFAULT depth net ----------------
+    states["midas"] = state
+    batch_matrix = {str(b): batch_row(step, "midas", b, gap)
+                    for b in (1, 2, 4, 8, 16)}
+    gain_best = max(v["pairs_per_s"] for v in batch_matrix.values()) \
+        / batch_matrix["1"]["pairs_per_s"]
+    gap_ms = {str(g): round(timed(step, "midas", 1, g), 2) for g in (1, 4, 8)}
+
+    # ---- hourglass legs: the reference's DEFAULT depth net ---------------
     # (third_party/hourglass.py; --depth_net hourglass). Same canonical
-    # shape/protocol so the number tracks the s2d/merged-reducer work.
+    # protocol so the numbers track the s2d/merged-reducer work; gap + batch
+    # legs so a regression in either is visible in the round artifact
+    # (VERDICT r4 item 3).
     hg_cfg = TrainStepConfig(
         lr=1e-6, scene_lr_mul=1000.0, midas=False, depth_net="hourglass",
         loss=LossConfig(flow_mul=1.0, disp_mul=1.0, acc_mul=1.0,
@@ -242,22 +249,12 @@ def main():
         compute_dtype="bfloat16",
     )
     hg_step = SceneFlowMotionFieldStep(hg_cfg)
-    hg_state = hg_step.init_state(jax.random.PRNGKey(0), batch["img_1"])
-    hg_state, hg_logs = dispatch_with_retry(
-        lambda: hg_step.train_step(hg_state, batch, steps=gap, warm=False),
-        "bench hourglass compile")
-    hg_state, hg_logs = hg_step.train_step(hg_state, batch, steps=gap,
-                                           warm=False)
-    _ = float(hg_logs["loss"])
-    hg_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(8):
-            hg_state, hg_logs = hg_step.train_step(hg_state, batch,
-                                                   steps=gap, warm=False)
-        _ = float(hg_logs["loss"])
-        hg_times.append((time.perf_counter() - t0) / 8 * 1e3)
-    hourglass_ms = float(np.median(hg_times))
+    states["hg"] = hg_step.init_state(jax.random.PRNGKey(0), batch["img_1"])
+    hg_batch_matrix = {str(b): batch_row(hg_step, "hg", b, gap)
+                       for b in (1, 4, 8, 16)}
+    hourglass_ms = hg_batch_matrix["1"]["step_ms"]
+    hg_gap_ms = {str(g): round(timed(hg_step, "hg", 1, g), 2)
+                 for g in (1, 8)}
 
     print(json.dumps({
         "metric": "davis_train_step_224x384_gap2",
@@ -271,9 +268,11 @@ def main():
         "steps_per_s_sustained": round(steps_per_s, 2),
         "step_ms_scan8": round(scan_ms, 3),
         "batch_matrix": batch_matrix,
-        "throughput_per_chip_gain_batch4": round(gain_b4, 2),
+        "throughput_per_chip_gain_best": round(gain_best, 2),
         "gap_step_ms": gap_ms,
         "hourglass_step_ms": round(hourglass_ms, 2),
+        "hourglass_batch_matrix": hg_batch_matrix,
+        "hourglass_gap_step_ms": hg_gap_ms,
     }))
 
 

@@ -171,11 +171,21 @@ class SceneFlowMotionFieldStep:
 
     def __init__(self, cfg: TrainStepConfig):
         self.cfg = cfg
+        # depth_net is self-checking: '' defers to the midas flag (the
+        # reference's --midas switch, models/scene_flow_motion_field.py:94-97);
+        # explicit names select the net directly so a typo fails loudly
+        # instead of silently falling through to the hourglass.
+        valid = ("", "tiny", "midas", "hourglass")
+        if cfg.depth_net not in valid:
+            raise ValueError(
+                f"depth_net={cfg.depth_net!r} not in {valid}")
+        use_midas = (cfg.depth_net == "midas"
+                     or (cfg.depth_net == "" and cfg.midas))
         if cfg.depth_net == "tiny":
             from ..models.tiny import TinyDepthNet
 
             self.net_depth = TinyDepthNet()
-        elif cfg.midas:
+        elif use_midas:
             self.net_depth = MidasNet(
                 non_negative=True, normalize_input=True,
                 resize=cfg.midas_resize,

@@ -1,18 +1,20 @@
 #!/bin/bash
-# Fast DAVIS recipe: the canonical optimization with pairs batched 4-wide.
+# Fast DAVIS recipe: the canonical optimization with pairs batched 8-wide.
 #
 # Pairs are independent samples of the same per-video objective, and a
 # batch-B step optimizes EXACTLY the union objective of its B pairs (the
 # loss is a mask-mass-weighted mean over all pixels of the batch —
 # tests/test_batch_equivalence.py pins both the loss recombination and the
 # gradient identity). Batching therefore changes MXU occupancy, not the
-# math: measured on TPU v5e, batch 4 delivers ~2x pair throughput per chip
-# (RESULTS.md batch matrix), halving wall-clock per epoch.
+# math: measured on TPU v5e (round-5 knee scan, batches 1..16), batch 8 is
+# the throughput knee at ~67 pairs/s vs ~34 at batch 1 — 2.0x pair
+# throughput per chip; batch 16 is flat (66.6), so 8 is the recipe
+# (RESULTS.md batch matrix).
 #
-# epoch_batches 500 x batch 4 = the canonical 2000 pair-visits per epoch
+# epoch_batches 250 x batch 8 = the canonical 2000 pair-visits per epoch
 # (reference protocol: experiments/davis/train_sequence.sh 2000 x 1).
 # Each batched step takes ONE Adam update where the canonical recipe takes
-# four smaller ones; at the reference's tiny depth lr (1e-6) the smoother
+# eight smaller ones; at the reference's tiny depth lr (1e-6) the smoother
 # batched gradient is if anything better conditioned, and the scene-flow
 # head keeps the same effective step scale because Adam normalizes per
 # coordinate. lr is therefore kept at the canonical values.
@@ -27,12 +29,12 @@ python train.py \
     --dataset davis_sequence \
     --track_id "${track}" \
     --log_time \
-    --epoch_batches 500 \
+    --epoch_batches 250 \
     --epoch 20 \
     --lr 1e-6 \
     --html_logger \
     --vali_batches 150 \
-    --batch_size 4 \
+    --batch_size 8 \
     --optim adam \
     --vis_batches_vali 4 \
     --vis_every_vali 1 \

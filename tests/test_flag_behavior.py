@@ -136,6 +136,25 @@ def test_sgd_dampening_changes_updates():
     assert not np.allclose(run(0.0), run(0.5))
 
 
+def test_depth_net_value_is_validated():
+    """A depth_net typo must fail loudly, not silently fall through to the
+    hourglass branch (ADVICE r4)."""
+    from dynamic_video_depth_tpu.train.step import (
+        SceneFlowMotionFieldStep,
+        TrainStepConfig,
+    )
+
+    with pytest.raises(ValueError, match="depth_net"):
+        SceneFlowMotionFieldStep(TrainStepConfig(depth_net="hourglas"))
+    # explicit names select the net regardless of the midas flag
+    s = SceneFlowMotionFieldStep(TrainStepConfig(depth_net="hourglass",
+                                                 midas=True))
+    assert type(s.net_depth).__name__ == "HourglassModelEmbed"
+    s = SceneFlowMotionFieldStep(TrainStepConfig(depth_net="midas",
+                                                 midas=False))
+    assert type(s.net_depth).__name__ == "MidasNet"
+
+
 # --------------------------------------------------------- CLI end-to-end
 
 

@@ -390,3 +390,52 @@ def test_fleet_with_pallas_kernels_matches_xla_fleet(rng):
                     jax.tree.leaves(pl_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_hourglass_fleet_matches_single(rng):
+    """The PRODUCTION depth net on the fleet mesh (VERDICT r4 item 4): a
+    2-video hourglass fleet — s2d densification forced active at this frame
+    size, merged reducers on, batch 2 per video — must match independent
+    single-video steps. Conv-heavy graphs have sharding/layout failure
+    modes a tiny net can't surface; this is the CPU twin of dryrun
+    strategy 4 (__graft_entry__.py)."""
+    import dataclasses
+
+    import __graft_entry__ as g
+
+    cfg = dataclasses.replace(
+        small_cfg(), depth_net="hourglass", midas=False,
+        s2d_min_pixels=256, merge_reducers=True,
+    )
+    step = SceneFlowMotionFieldStep(cfg)
+    n_videos, h, w = 2, 32, 48  # 32*48 >= 256: full-res branches take s2d
+    batches = [g._synthetic_batch(2, h, w, rng) for _ in range(n_videos)]
+
+    singles = []
+    for i, b in enumerate(batches):
+        st = step.init_state(jax.random.PRNGKey(200 + i), b["img_1"])
+        st2, logs = step.train_step(st, b, steps=2, warm=False)
+        singles.append((st2, float(logs["loss"])))
+
+    mesh = make_mesh([("video", n_videos)],
+                     devices=jax.devices()[:n_videos])
+    mv = MultiVideoOptimizer(step, mesh)
+    states = tree_stack([
+        step.init_state(jax.random.PRNGKey(200 + i), batches[i]["img_1"])
+        for i in range(n_videos)
+    ])
+    states = jax.device_put(states, mv.state_sharding())
+    stacked = tree_stack(batches)
+    stacked = jax.device_put(stacked, mv.state_sharding())
+    new_states, logs = mv.train_step(states, stacked, steps=2, warm=False)
+
+    for i in range(n_videos):
+        ref_state, ref_loss = singles[i]
+        np.testing.assert_allclose(float(tree_index(logs, i)["loss"]),
+                                   ref_loss, rtol=1e-5)
+        for a, b_ in zip(
+                jax.tree.leaves(ref_state.params_depth),
+                jax.tree.leaves(tree_index(new_states, i).params_depth)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-6)
