@@ -209,29 +209,48 @@ class Inception(nn.Module):
             for wd in widths:
                 offs.append(offs[-1] + wd)
             if fuse_s2d:
-                # s2d is fused INTO the reducer conv (stride-2, ci-major
-                # output channels) and d2s into one identity conv at the
-                # region end — no transpose op ever materializes.
+                # s2d is fused INTO the reducer conv (stride-2, branch-
+                # blocked PHASE-MAJOR output channels) and d2s into one
+                # identity conv at the region end — no transpose op ever
+                # materializes. Phase-major (vs round-4's ci-major) keeps
+                # the dense-kernel expansion einsum's minor dim on the
+                # cout axis instead of the 4-wide phase index: 4-8x less
+                # lane padding on the expansion intermediates, measured
+                # faster on every branch shape (scripts/probe_s2d_order.py).
+                # Within a branch block the bias/BN broadcast is tile
+                # (vec repeated per phase), not repeat.
                 ys = jax.lax.conv_general_dilated(
-                    x, s2d_fused_1x1_kernel(wk), (2, 2), [(0, 0), (0, 0)],
+                    x, s2d_fused_1x1_kernel(wk, widths=widths),
+                    (2, 2), [(0, 0), (0, 0)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                ys = ys + jnp.repeat(wb, 4)
-                ys = nn.relu((ys - jnp.repeat(mm, 4))
-                             * jax.lax.rsqrt(jnp.repeat(vv, 4) + 1e-5))
+
+                ys = ys + jnp.concatenate(
+                    [jnp.tile(wb[offs[i]:offs[i + 1]], 4)
+                     for i in range(len(widths))])
+                mm_bp = jnp.concatenate(
+                    [jnp.tile(mm[offs[i]:offs[i + 1]], 4)
+                     for i in range(len(widths))])
+                vv_bp = jnp.concatenate(
+                    [jnp.tile(vv[offs[i]:offs[i + 1]], 4)
+                     for i in range(len(widths))])
+                ys = nn.relu((ys - mm_bp) * jax.lax.rsqrt(vv_bp + 1e-5))
                 outs = [ys[..., : 4 * widths[0]]]
+                out_widths = [widths[0]]
                 for i, (filt, wd, out_b) in enumerate(self.config[1:],
                                                       start=1):
                     k, b = _ConvParams((filt, filt, wd, out_b),
                                        name=f"convs__{i}__3")()
                     m, v = _BNStats(out_b, name=f"convs__{i}__4")()
                     yb = s2d_space_conv(
-                        ys[..., 4 * offs[i]:4 * offs[i + 1]], k, 2, "ci")
-                    yb = yb + jnp.repeat(b, 4).astype(yb.dtype)
-                    yb = (yb - jnp.repeat(m, 4).astype(yb.dtype)) \
-                        * jax.lax.rsqrt(jnp.repeat(v, 4).astype(yb.dtype)
+                        ys[..., 4 * offs[i]:4 * offs[i + 1]], k, 2, "phase")
+                    yb = yb + jnp.tile(b, 4).astype(yb.dtype)
+                    yb = (yb - jnp.tile(m, 4).astype(yb.dtype)) \
+                        * jax.lax.rsqrt(jnp.tile(v, 4).astype(yb.dtype)
                                         + 1e-5)
                     outs.append(nn.relu(yb))
-                return d2s_conv(jnp.concatenate(outs, axis=-1), 2)
+                    out_widths.append(out_b)
+                return d2s_conv(jnp.concatenate(outs, axis=-1), 2,
+                                widths=out_widths)
             y = jax.lax.conv_general_dilated(
                 x, wk, (1, 1), [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + wb

@@ -170,35 +170,77 @@ def _phase_eye(s: int, dtype) -> jnp.ndarray:
     return jnp.eye(s * s, dtype=dtype).reshape(s, s, s * s)
 
 
-def s2d_fused_1x1_kernel(kernel: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+def s2d_fused_1x1_kernel(kernel: jnp.ndarray, s: int = 2,
+                         widths=None) -> jnp.ndarray:
     """Expand a 1x1 conv kernel [1, 1, cin, cout] to [s, s, cin, s*s*cout]
-    so that a stride-s conv with it computes ``space_to_depth(conv1x1(x),
-    order='ci')`` in ONE MXU pass — the s2d relayout never exists as a
-    transpose op (measured: explicit ci-major transposes run at ~0.4 GB/s
-    on this backend's data-formatting path; the conv runs at MXU rate).
-    Each original output value is computed exactly once (output channel
-    (co, p) reads only input pixel p of its 2x2 block), so the result is
-    the unfused conv's bit-for-bit values in a different layout."""
+    so that a stride-s conv with it computes ``conv1x1 then space-to-depth``
+    in ONE MXU pass — the s2d relayout never exists as a transpose op
+    (measured: explicit ci-major transposes run at ~0.4 GB/s on this
+    backend's data-formatting path; the conv runs at MXU rate). Each
+    original output value is computed exactly once (output channel (co, p)
+    reads only input pixel p of its 2x2 block), so the result is the
+    unfused conv's bit-for-bit values in a different layout.
+
+    ``widths=None`` emits the ci-major layout (channel = co*s*s + p).
+    ``widths=[w0, w1, ...]`` (summing to cout) emits the BRANCH-BLOCKED
+    PHASE-MAJOR layout: branch blocks stay contiguous (block b spans
+    channels [s*s*off_b, s*s*off_{b+1})) and within a block the channel is
+    ``p*w_b + co_local`` — i.e. each block is exactly ``order='phase'`` over
+    its own channels. Phase-major is what the dense s2d kernel expansion
+    wants: its einsum minor dim becomes the cout axis instead of the
+    4-wide phase index, cutting the (8,128)-tile lane padding of the
+    expansion intermediates 4-8x (measured, scripts/probe_s2d_order.py:
+    every hourglass branch shape is faster in phase order, up to 2.2x on
+    the 11x11 half-res branches)."""
     w = kernel[0, 0]  # [cin, cout]
     e = _phase_eye(s, w.dtype)
-    out = w[None, None, :, :, None] * e[:, :, None, None, :]
-    return out.reshape(s, s, w.shape[0], w.shape[1] * s * s)
+    if widths is None:
+        out = w[None, None, :, :, None] * e[:, :, None, None, :]
+        return out.reshape(s, s, w.shape[0], w.shape[1] * s * s)
+    blocks, off = [], 0
+    for wd in widths:
+        wb = w[:, off:off + wd]  # [cin, wd]
+        # [s, s, cin, p, wd] -> channel p*wd + co_local
+        blk = e[:, :, None, :, None] * wb[None, None, :, None, :]
+        blocks.append(blk.reshape(s, s, w.shape[0], s * s * wd))
+        off += wd
+    return jnp.concatenate(blocks, axis=-1)
 
 
-def d2s_conv(y: jnp.ndarray, s: int = 2) -> jnp.ndarray:
-    """``depth_to_space(y, order='ci')`` as an lhs-dilated identity conv
-    ([B, H', W', s*s*C] -> [B, s*H', s*W', C]) — MXU data movement instead
-    of a transpose op. Exact: each output pixel copies exactly one input
-    value (identity kernel, structural zeros elsewhere); precision pinned
-    HIGHEST so the copy never rounds f32 operands to bf16."""
+def d2s_conv(y: jnp.ndarray, s: int = 2, widths=None) -> jnp.ndarray:
+    """Depth-to-space as an lhs-dilated identity conv ([B, H', W', s*s*C]
+    -> [B, s*H', s*W', C]) — MXU data movement instead of a transpose op.
+    Exact: each output pixel copies exactly one input value (identity
+    kernel, structural zeros elsewhere); precision pinned HIGHEST so the
+    copy never rounds f32 operands to bf16.
+
+    ``widths=None``: input is ci-major (channel = ci*s*s + p) — equivalent
+    to the branch-blocked phase-major layout with every block width 1.
+    ``widths=[w0, ...]``: input is the branch-blocked phase-major layout of
+    :func:`s2d_fused_1x1_kernel` (block b channel = p*w_b + ci_local)."""
     c = y.shape[-1] // (s * s)
-    # k[u, v, ci*s*s + p, co] = delta(ci, co) * delta(p, (s-1-u)*s + (s-1-v)):
-    # with lhs_dilation s and padding s-1, output pixel s*i + a reads dilated
-    # position s*i through kernel tap u = (s-1) - a.
+    if widths is None:
+        widths = [1] * c
+    assert sum(widths) == c, (widths, c)
+    # Per block: k[u, v, p*wd + ci_local, co_local] =
+    #   delta(ci_local, co_local) * delta(p, (s-1-u)*s + (s-1-v)):
+    # with lhs_dilation s and padding s-1, output pixel s*i + a reads
+    # dilated position s*i through kernel tap u = (s-1) - a. Blocks
+    # assemble block-diagonally over the channel axes.
     e = _phase_eye(s, y.dtype)[::-1, ::-1, :]
-    eye = jnp.eye(c, dtype=y.dtype)
-    k = eye[None, None, :, None, :] * e[:, :, None, :, None]
-    k = k.reshape(s, s, c * s * s, c)
+    parts = []
+    off = 0
+    for wd in widths:
+        eye = jnp.eye(wd, dtype=y.dtype)
+        # [s, s, p, ci_local, co_local] -> [s, s, s*s*wd, wd]
+        blk = e[:, :, :, None, None] * eye[None, None, None, :, :]
+        blk = blk.reshape(s, s, s * s * wd, wd)
+        pad_before = s * s * off
+        pad_after = c * s * s - pad_before - blk.shape[2]
+        parts.append(jnp.pad(
+            blk, ((0, 0), (0, 0), (pad_before, pad_after), (0, 0))))
+        off += wd
+    k = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     return jax.lax.conv_general_dilated(
         y, k,
         window_strides=(1, 1),

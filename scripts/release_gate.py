@@ -5,7 +5,11 @@ red at HEAD and every headline claim unverifiable).
 
 Runs, in order, and exits nonzero on the first failure:
 
-  1. the full CPU test suite (8 virtual devices via tests/conftest.py),
+  1. the CPU test suite (8 virtual devices via tests/conftest.py) — the
+     FAST tier (``-m "not slow"``, ~5 min) by default; ``--full-tests``
+     runs everything (use at round end / nightly; the full suite is
+     ~30 min on this 1-CPU host and a slow gate is a skipped gate —
+     round-3 lesson),
   2. the multi-chip dryrun (``__graft_entry__.dryrun_multichip(8)``),
   3. ``python bench.py`` on the real TPU — must print a parseable JSON
      line AND must not regress vs the most recent green ``BENCH_r*.json``
@@ -17,8 +21,9 @@ Writes ``RELEASE_GATE.json`` with per-stage results. Stages can be
 skipped explicitly (``--skip-tests``, ``--skip-dryrun``, ``--skip-bench``)
 when a stage was just run by hand — the JSON records the skip.
 
-Usage: python scripts/release_gate.py            (on the TPU host)
-       python scripts/release_gate.py --skip-tests   # suite already green
+Usage: python scripts/release_gate.py              (fast tier + dryrun + bench)
+       python scripts/release_gate.py --full-tests # round end: whole suite
+       python scripts/release_gate.py --skip-tests # suite already green
 """
 
 import argparse
@@ -65,6 +70,9 @@ def last_green_bench():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-tests", action="store_true")
+    ap.add_argument("--full-tests", action="store_true",
+                    help="run the whole suite instead of the fast tier "
+                         "(-m 'not slow'); use at round end / nightly")
     ap.add_argument("--skip-dryrun", action="store_true")
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--regress-tol", type=float, default=1.25,
@@ -80,8 +88,11 @@ def main():
     if args.skip_tests:
         results["tests"] = {"skipped": True}
     else:
-        r = run("tests", [sys.executable, "-m", "pytest", "tests/", "-q",
-                          "--tb=line"], env=env, timeout=3600)
+        cmd = [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"]
+        if not args.full_tests:
+            cmd += ["-m", "not slow"]
+        r = run("tests", cmd, env=env, timeout=3600)
+        r["tier"] = "full" if args.full_tests else "fast"
         results["tests"] = {k: v for k, v in r.items() if k != "stdout"}
         if not r["ok"]:
             failed.append("tests")

@@ -95,6 +95,43 @@ def test_d2s_conv_is_exact_depth_to_space():
         d2s_conv(y), depth_to_space(y, order="ci"))
 
 
+def test_s2d_fused_1x1_kernel_branch_phase_blocks():
+    """widths= emits branch-contiguous blocks, each exactly order='phase'
+    over its own channels (the round-5 fused-region layout)."""
+    from dynamic_video_depth_tpu.ops.s2d import s2d_fused_1x1_kernel
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 5, 9).astype(np.float32))
+    widths = [3, 2, 4]
+    out = jax.lax.conv_general_dilated(
+        x, s2d_fused_1x1_kernel(w, widths=widths), (2, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    conv = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    off = 0
+    pieces = []
+    for wd in widths:
+        pieces.append(space_to_depth(conv[..., off:off + wd], order="phase"))
+        off += wd
+    np.testing.assert_allclose(out, jnp.concatenate(pieces, axis=-1),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_d2s_conv_branch_phase_blocks():
+    from dynamic_video_depth_tpu.ops.s2d import d2s_conv
+
+    rng = np.random.RandomState(8)
+    widths = [3, 2, 4]
+    blocks = [jnp.asarray(rng.randn(2, 4, 6, 4 * wd).astype(np.float32))
+              for wd in widths]
+    y = jnp.concatenate(blocks, axis=-1)
+    expected = jnp.concatenate(
+        [depth_to_space(b, order="phase") for b in blocks], axis=-1)
+    np.testing.assert_array_equal(d2s_conv(y, widths=widths), expected)
+
+
 @pytest.mark.parametrize("order", ["phase", "ci"])
 @pytest.mark.parametrize("k", [3, 7, 11])
 def test_s2d_space_conv_matches_direct(k, order):
