@@ -33,3 +33,61 @@ def rng():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (realistic shapes/multi-process)")
+
+
+# Central slow tier (round 5, VERDICT r4 item 6): the heavy parity sweeps
+# and realistic-shape runs, measured >= ~25 s each on the 1-CPU host
+# (pytest --durations). The fast tier (-m "not slow", what
+# scripts/release_gate.py runs by default) keeps at least one smoke-level
+# test per subsystem and finishes in ~8 min; the full suite stays the
+# round-end/nightly gate. Tests already carrying @pytest.mark.slow keep it;
+# this list adds the marker at collection so 15 files don't each need
+# decorator churn.
+_SLOW_TESTS = {
+    "test_cli_end_to_end.py::test_train_cli_migrates_reference_checkpoint",
+    "test_flag_behavior.py::test_driver_flags_end_to_end",
+    "test_flag_behavior.py::test_force_overwrite_guard_and_vali_at_start",
+    "test_flag_behavior.py::test_shutterstock_recipe_chains_test",
+    "test_flag_behavior.py::test_vis_at_start_selects_first_batches",
+    "test_migrate.py::test_export_round_trips_to_reference_format",
+    "test_migrate.py::test_migration_without_optimizer_state",
+    "test_migrate.py::test_reference_checkpoint_migration",
+    "test_models.py::test_dense_grouped_conv_matches_grouped",
+    "test_models.py::test_fcn_unet_matches_reference",
+    "test_models.py::test_hourglass_matches_reference",
+    "test_models.py::test_midas_matches_reference",
+    "test_moving_object.py::test_sceneflow_field_learns_motion",
+    "test_pallas_chain.py::test_unfittable_config_falls_back",
+    "test_pallas_step.py::test_chain_gap1_phantom_reg_eval_matches_flax_step",
+    "test_pallas_step.py::test_chain_off_pereval_path_matches_flax_step",
+    "test_pallas_step.py::test_fully_fused_step_matches_xla_step",
+    "test_pallas_warp.py::test_windowed_gradient_matches_windowed_forward",
+    "test_parallel.py::test_data_parallel_matches_single_device",
+    "test_parallel.py::test_fleet_batch_cache_matches_host_stack",
+    "test_parallel.py::test_fleet_scan_matches_sequential_steps",
+    "test_parallel.py::test_fleet_with_pallas_kernels_matches_xla_fleet",
+    "test_parallel.py::test_multi_video_data_parallel_2d_matches_single",
+    "test_parallel.py::test_multi_video_data_parallel_rejects_indivisible",
+    "test_parallel.py::test_multi_video_matches_single",
+    "test_pretrained_load.py::test_depth_golden_check_hourglass",
+    "test_pretrained_load.py::test_depth_golden_check_midas",
+    "test_pretrained_load.py::test_hourglass_checkpoint_load",
+    "test_preprocess.py::test_stage1_depth_fn_sharded_matches_serial",
+    "test_preprocess.py::test_stage2_sharded_matches_serial",
+    "test_s2d.py::test_hourglass_fused_s2d_inception_matches_plain",
+    "test_s2d.py::test_hourglass_merged_reducers_matches_unmerged",
+    "test_s2d.py::test_hourglass_s2d_path_matches_direct",
+    "test_train_step.py::test_acc_reg_reuses_second_euler_eval",
+    "test_train_step.py::test_gap_buckets_share_no_recompile_within_gap",
+    "test_train_step.py::test_grad_stats_logging",
+    "test_variant_paths.py::test_cnn_sceneflow_head",
+    "test_variant_paths.py::test_remat_depth_matches_plain",
+    "test_variant_paths.py::test_weight_steps_scales_gradient",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
