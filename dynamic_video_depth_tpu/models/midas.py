@@ -26,6 +26,15 @@ from ..ops.resize import resize_bicubic, upsample2x_bilinear
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
 
+# Measured dead end (round 5, do NOT retry without new evidence): s2d-
+# densifying the decoder head's full-res 3x3 128->32 conv (the 15.5 TF/s
+# op at 224x384, 13.7 at 320x576). A 3x3 kernel s2d-expands to 3x3 on the
+# half-res layout — 4.0x the FLOPs for 4x the lanes — and the step got
+# SLOWER at both resolutions (canonical 25.68 -> 26.45 ms busy, wide
+# 63.16 -> 64.17). The hourglass branch convs win the same trade only
+# because their k=7/11 kernels inflate just 1.6-2.0x and start from
+# 4 TF/s, not 15.
+
 
 def _conv(features, kernel, stride=1, padding=0, groups=1, use_bias=True, name=None):
     return nn.Conv(

@@ -86,7 +86,9 @@ class TrainStepConfig:
     merge_group_width: int = 128
     # hourglass: s2d-densify narrow full/half-res inception branch convs on
     # feature maps of >= this many pixels (0 = off; models/hourglass.py
-    # _branch_conv + ops/s2d.py — the spatial analog of dense_group_width)
+    # _branch_conv + ops/s2d.py — the spatial analog of dense_group_width).
+    # The MiDaS decoder head's 128->32 conv measured SLOWER under the same
+    # trick (see models/midas.py dead-end note).
     s2d_min_pixels: int = 16384
     # hourglass: compute each inception's four parallel 1x1 reducer convs
     # (+ affine-free BNs + relu) as ONE concatenated conv + one elementwise
