@@ -119,7 +119,18 @@ class AsyncSaver:
         import queue
         import threading
 
-        self._q = queue.Queue(maxsize=1)
+        # depth 4: one epoch's full save set (checkpoint.ckpt + best.ckpt +
+        # nets/%04d) queues without blocking the step loop; back-pressure
+        # only engages if storage falls a whole epoch behind (round-5
+        # measurement: with maxsize=1 the third same-epoch save blocked the
+        # loop for a full tunnel D2H)
+        self._q = queue.Queue(maxsize=4)
+        # same-state host-fetch dedupe: the per-epoch save set passes the
+        # SAME device snapshot 2-3x; fetch it through the tunnel once
+        # (~68 MB hourglass / ~1.3 GB MiDaS per fetch). Holds a strong ref
+        # to the snapshot so Python cannot recycle its id.
+        self._cache_state = None
+        self._cache_host = None
         self._t = threading.Thread(target=self._worker, daemon=True)
         self._t.start()
         atexit.register(self._drain_at_exit)
@@ -129,8 +140,11 @@ class AsyncSaver:
             job = self._q.get()
             path, state, epoch, best, extra, include_opt = job
             try:
-                save_state(path, state, epoch=epoch, best=best, extra=extra,
-                           include_opt=include_opt)
+                if state is not self._cache_state:
+                    self._cache_host = jax.device_get(state)
+                    self._cache_state = state
+                save_state(path, self._cache_host, epoch=epoch, best=best,
+                           extra=extra, include_opt=include_opt)
             except Exception as e:  # surface without killing the loop
                 print(f"Warning: async checkpoint save failed: {e}")
             finally:

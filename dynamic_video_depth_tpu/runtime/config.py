@@ -16,6 +16,7 @@ from typing import Optional, Sequence
 def add_general_arguments(parser: argparse.ArgumentParser):
     unique_params = {
         "gpu", "resume", "epoch", "workers", "batch_size", "save_net",
+        "save_every",
         "epoch_batches", "logdir", "full_logdir", "vis_batches_vali",
         "vali_batches", "vali_at_start", "vis_every_vali", "pt_no_overwrite",
         # TPU-runtime execution knobs (not model-defining, numerics-
@@ -99,6 +100,11 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--expr_id", type=int, default=0)
     a("--save_net", type=int, default=1)
     a("--save_net_opt", action="store_true")
+    a("--save_every", type=int, default=1,
+      help="write checkpoint.ckpt every N epochs (reference writes every "
+           "epoch; on a tunneled backend each save is a full-state D2H "
+           "fetch, so cheap fast epochs can raise this). best.ckpt is "
+           "unaffected")
     a("--vis_every_vali", default=1, type=int)
     a("--vis_every_train", default=1, type=int)
     a("--vis_batches_vali", type=int, default=10)

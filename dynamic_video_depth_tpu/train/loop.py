@@ -225,10 +225,17 @@ class Trainer:
             for epoch in range(start_epoch, opt.epoch + 1):
                 t_epoch = time.time()
                 self._train_one(epoch)
+                t_train = time.time()
                 vali_logs = self._vali(epoch)
                 vali_logs = dict(vali_logs)
+                t_vali = time.time()
                 vali_logs["epoch_time"] = time.time() - t_epoch
                 self.logger.on_epoch_end(epoch, vali_logs)
+                if self.log_time:
+                    print(f"[epoch {epoch} phases] train "
+                          f"{t_train - t_epoch:.1f}s vali "
+                          f"{t_vali - t_train:.1f}s epoch-end "
+                          f"{time.time() - t_vali:.1f}s", flush=True)
         finally:
             self.logger.on_train_end()
         return self

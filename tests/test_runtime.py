@@ -121,6 +121,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["epoch"] == 5 and meta["best"] == 0.25
 
 
+def test_async_saver_dedupes_same_snapshot(tmp_path):
+    """The per-epoch save set passes the SAME device snapshot 2-3x; the
+    worker must fetch it once and still write every file correctly, and a
+    NEW snapshot must refresh the host copy (round-5 tunnel-D2H fix)."""
+    from dynamic_video_depth_tpu.runtime.checkpoint import AsyncSaver
+
+    saver = AsyncSaver()
+    s1 = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(1)}
+    saver.save(str(tmp_path / "a.ckpt"), s1, epoch=1)
+    saver.save(str(tmp_path / "b.ckpt"), s1, epoch=1)
+    saver.flush()
+    assert saver._cache_state is s1  # one fetch, cached by identity
+    s2 = {"params": {"w": jnp.arange(4.0) * 2}, "step": jnp.asarray(2)}
+    saver.save(str(tmp_path / "c.ckpt"), s2, epoch=2)
+    saver.flush()
+    tmpl = {"params": {"w": jnp.zeros((4,))}, "step": jnp.asarray(0)}
+    for name, ref in (("a", s1), ("b", s1), ("c", s2)):
+        loaded, _ = load_state(str(tmp_path / f"{name}.ckpt"), tmpl)
+        np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
+                                   np.asarray(ref["params"]["w"]))
+
+
 def test_resolve_resume(tmp_path):
     d = str(tmp_path)
     assert resolve_resume(d, 0) is None

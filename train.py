@@ -182,11 +182,20 @@ def main():
 
     saver = AsyncSaver()
     # one-dispatch device-side copy: the training step donates its input
-    # state buffers, so the async writer must fetch from an undonated copy
+    # state buffers, so the async writer must fetch from an undonated copy.
+    # Snapshot ONCE per epoch — the end-of-epoch save set (checkpoint.ckpt
+    # + best.ckpt + nets/%04d) reuses one device copy, and AsyncSaver
+    # dedupes the host fetch by snapshot identity, so each epoch pays one
+    # D2H of the state instead of three (round-5: the extra tunnel fetches
+    # were ~half the steady-state epoch wall at batch 8)
     snapshot = jax.jit(lambda s: jax.tree.map(jax.numpy.copy, s))
+    _snap = {"epoch": None, "dev": None}
 
     def save_fn(path, epoch=0, best=float("inf"), include_opt=True):
-        saver.save(path, snapshot(model.state), epoch=epoch, best=best,
+        if _snap["epoch"] != epoch:
+            _snap["dev"] = snapshot(model.state)
+            _snap["epoch"] = epoch
+        saver.save(path, _snap["dev"], epoch=epoch, best=best,
                    include_opt=include_opt)
 
     # one shared best value: periodic sidecars record it, and on resume the
@@ -205,8 +214,8 @@ def main():
 
     logger.add_logger(
         ModelSaveLogger(save_fn, join(opt.full_logdir, "checkpoint.ckpt"),
-                        period=1, cumulator=cumulator,
-                        best_holder=best_holder)
+                        period=max(getattr(opt, "save_every", 1), 1),
+                        cumulator=cumulator, best_holder=best_holder)
     )
     if opt.save_net > 0:
         # periodic net history without optimizer state unless
