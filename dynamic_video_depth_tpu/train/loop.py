@@ -124,11 +124,16 @@ class _ChunkedDataset:
 class Trainer:
     """Drives per-video optimization epochs.
 
+    ``_LOG_PIPELINE_DEPTH``: how many steps the per-step metric fetch may
+    trail the dispatch loop (see ``_train_epoch_body``).
+
     Device caching: per-video optimization reuses a small fixed set of pair
     batches for the whole 40k-step schedule, so converted batches are pinned
     in HBM after first touch (``--no_device_cache`` streams instead). With
     batching, the same-gap groups are a fixed partition whose order
     reshuffles per epoch (so cached group batches stay reusable)."""
+
+    _LOG_PIPELINE_DEPTH = 16
 
     def __init__(self, model, dataset_train, dataset_vali, logger: ComposeLogger,
                  opt, visualize_fn=None):
@@ -266,10 +271,14 @@ class Trainer:
             return self._train_epoch_chunked(epoch, warm, source, n)
         order = self.epoch_order(n, opt.epoch_batches)
         t_data = time.time()
-        # Per-step metrics are fetched ONE STEP BEHIND via async host copies:
-        # a synchronous read per scalar would stall the dispatch queue on a
-        # device roundtrip (dominant at ms-scale steps).
-        pending = None
+        # Per-step metrics are fetched ``_LOG_PIPELINE_DEPTH`` steps behind
+        # via async host copies: a synchronous read per scalar would stall
+        # the dispatch queue on a device roundtrip, and even a depth-1
+        # pipeline pays one tunnel fetch latency PER STEP when the backend
+        # cannot overlap the host copy (measured round 5: ~0.2 s/step on a
+        # congested window — more than the step itself). Metrics (progbar,
+        # CSV, the NaN guard) trail the device by up to this many steps.
+        pending = []
         for i, (idx, dev, host) in enumerate(self._iter_batches(source, order)):
             data_time = time.time() - t_data
             t_step = time.time()
@@ -285,13 +294,13 @@ class Trainer:
                 except AttributeError:
                     pass
                 # batch_time = host dispatch wall time (the device result is
-                # fetched async one step behind, so this measures the step
-                # loop's real cost, not a forced sync)
-                entry = (i, packed, sorted(k for k in logs if k != "size"),
-                         logs["size"], data_time, time.time() - t_step)
-                if pending is not None:
-                    self._flush_logs(pending)
-                pending = entry
+                # fetched async several steps behind, so this measures the
+                # step loop's real cost, not a forced sync)
+                pending.append(
+                    (i, packed, sorted(k for k in logs if k != "size"),
+                     logs["size"], data_time, time.time() - t_step))
+                if len(pending) > self._LOG_PIPELINE_DEPTH:
+                    self._flush_logs(pending.pop(0))
             else:
                 logs["data_time"] = data_time
                 if self.log_time:
@@ -301,8 +310,8 @@ class Trainer:
                 self.visualize_fn("train", epoch, i, dev, host,
                                   n_steps=len(order))
             t_data = time.time()
-        if pending is not None:
-            self._flush_logs(pending)
+        for entry in pending:
+            self._flush_logs(entry)
 
     def _train_epoch_chunked(self, epoch: int, warm: bool, source, n: int):
         """Multi-step-per-dispatch epoch: each iteration runs K optimization

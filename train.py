@@ -244,6 +244,35 @@ def main():
 
     from dynamic_video_depth_tpu.train.loop import vis_index
 
+    # Visualization is fetched + rendered OFF the step loop: the gated
+    # batches' device->host image fetch (~tens of MB through the tunnel)
+    # plus PNG/npz writes measured ~45 s per epoch inline (round 5) — more
+    # than the 250-step batch-8 epoch itself. The loop thread only runs the
+    # vis forward (an async dispatch) and enqueues device refs; this worker
+    # does the np conversion (the D2H), the PNG pool handoff, and the npz
+    # write. Queue holds a whole epoch's vis set; back-pressure only if
+    # rendering falls a full epoch behind.
+    import queue as _queue
+    import threading as _threading
+
+    _vis_q = _queue.Queue(maxsize=24)
+
+    def _vis_worker():
+        while True:
+            job = _vis_q.get()
+            try:
+                pred, dev_batch, outdir, key_idx, batch_idx = job
+                output = model.pack_output(pred, dev_batch)
+                visualizer.visualize(output, key_idx, outdir)
+                np.savez(join(outdir, "rank0000_batch%04d" % batch_idx),
+                         **output)
+            except Exception as e:
+                print(f"Warning: async visualization failed: {e}")
+            finally:
+                _vis_q.task_done()
+
+    _threading.Thread(target=_vis_worker, daemon=True).start()
+
     def visualize_fn(phase, epoch, batch_idx, dev_batch, host_batch,
                      n_steps=None):
         every = opt.vis_every_train if phase == "train" else opt.vis_every_vali
@@ -272,17 +301,19 @@ def main():
         outdir = join(opt.full_logdir, "visualize",
                       f"epoch{epoch:04d}_{phase}")
         os.makedirs(outdir, exist_ok=True)
-        output = model.pack_output(pred, dev_batch)
         # reference keys the visualizer on the gate index but the npz dump
         # on the absolute batch index (scene_flow_motion_field.py:216-225,
         # video_base.py:98-100)
-        visualizer.visualize(output, idx + 1000 * epoch, outdir)
-        np.savez(join(outdir, "rank0000_batch%04d" % batch_idx), **output)
+        _vis_q.put((pred, dev_batch, outdir, idx + 1000 * epoch, batch_idx))
+
+    def _drain_vis():
+        _vis_q.join()
 
     # ------------------------------------------------------------------ train
     trainer = Trainer(model, dataset_train, dataset_vali, logger, opt,
                       visualize_fn=visualize_fn)
     trainer.train(start_epoch=start_epoch)
+    _drain_vis()  # all queued fetches rendered before the PNG pool closes
     visualizer.close()
     saver.flush()
 
