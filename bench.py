@@ -293,6 +293,7 @@ def main():
         "sync_rtt_ms_est": round(rtt, 1),
         "hourglass_step_ms": round(hourglass_ms, 2),
         "hourglass_step_ms_device_est": round(hg_device, 2),
+        "hourglass_sync_rtt_ms_est": round(hg_rtt, 1),
         "hourglass_batch_matrix": hg_batch_matrix,
         "hourglass_gap_step_ms": hg_gap_ms,
     }))

@@ -6,10 +6,12 @@ fast recipe. Prints one JSON line per (net, batch, gap) config."""
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_CACHE_DIR", os.path.expanduser("~/.cache/jax_dvd"))
 
 
