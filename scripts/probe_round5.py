@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--batches", default="1,2,4,8,16")
     ap.add_argument("--gaps", default="2")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--res", default="224x384",
+                    help="HxW (must satisfy the net's divisibility: /32 "
+                         "midas, /16 hourglass)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -51,7 +54,7 @@ def main():
     )
     step = SceneFlowMotionFieldStep(cfg)
     rng = np.random.RandomState(0)
-    h, w = 224, 384
+    h, w = (int(x) for x in args.res.split("x"))
     state = step.init_state(jax.random.PRNGKey(0),
                             _synthetic_batch(1, h, w, rng)["img_1"])
 
