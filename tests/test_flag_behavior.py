@@ -231,6 +231,17 @@ def test_driver_flags_end_to_end(workdir):
     with open(plain, newline="") as f:
         assert "batch_time" not in csv.DictReader(f).fieldnames
 
+    # --save_every 2: checkpoint.ckpt written only on even epochs (round-5
+    # flag; best.ckpt unaffected). After a 3-epoch run the periodic ckpt
+    # sidecar must record epoch 2, while best.ckpt tracked every epoch.
+    run_cli([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "3",
+             "--save_every", "2", "--save_net", "0", "--force_overwrite",
+             *FLAG_ARGS, "--logdir", "./ckpt_save_every"], cwd=workdir)
+    d = (workdir / "ckpt_save_every" /
+         "scene_flow_motion_field_davis_sequence_track_dog" / "0")
+    assert json.load(open(d / "checkpoint.ckpt.json"))["epoch"] == 2
+    assert (d / "best.ckpt").is_file()
+
 
 def test_vis_at_start_selects_first_batches(workdir):
     """Default visualizes the LAST vis_batches_train batches (reference
