@@ -245,10 +245,14 @@ def main():
     gain_best = max(v["pairs_per_s"] for v in batch_matrix.values()) \
         / batch_matrix["1"]["pairs_per_s"]
     gap_ms = {str(g): round(timed(step, "midas", 1, g), 2) for g in (1, 4, 8)}
-    # RTT-free device estimate: headline (20 iters/sync) + matrix row
-    # (8 iters/sync) at the same config solve T(n) = n*device + rtt
+    # RTT-free device estimate: two sync granularities of the SAME config
+    # measured back-to-back (the tunnel swings ~2x between windows, so
+    # pairing measurements taken minutes apart can produce negative RTTs)
+    # solve T(n) = n*device + rtt
     midas_device, rtt = device_estimate(
-        batch_matrix["1"]["step_ms"], 8, dt_median, 20)
+        timed(step, "midas", 1, gap, iters=8), 8,
+        timed(step, "midas", 1, gap, iters=20), 20)
+    rtt = max(rtt, 0.0)
 
     # ---- hourglass legs: the reference's DEFAULT depth net ---------------
     # (third_party/hourglass.py; --depth_net hourglass). Same canonical
@@ -268,10 +272,13 @@ def main():
                        for b in (1, 4, 8, 16)}
     # headline at the SAME 20-iters-per-sync protocol as the MiDaS leg
     # (round-4's 36.3 "wall vs busy gap" was the fetch RTT amortized over
-    # only 8 iters; the device steps are back-to-back — see RESULTS.md)
+    # only 8 iters; the device steps are back-to-back — see RESULTS.md).
+    # The 8-iter leg for the device estimate is re-timed ADJACENT to the
+    # headline so the two-point solve sees one tunnel window.
+    hg_w8 = timed(hg_step, "hg", 1, gap, iters=8)
     hourglass_ms = timed(hg_step, "hg", 1, gap, iters=20)
-    hg_device, hg_rtt = device_estimate(
-        hg_batch_matrix["1"]["step_ms"], 8, hourglass_ms, 20)
+    hg_device, hg_rtt = device_estimate(hg_w8, 8, hourglass_ms, 20)
+    hg_rtt = max(hg_rtt, 0.0)
     hg_gap_ms = {str(g): round(timed(hg_step, "hg", 1, g), 2)
                  for g in (1, 8)}
 

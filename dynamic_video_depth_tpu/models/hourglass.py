@@ -161,13 +161,17 @@ class Inception(nn.Module):
 
     When every k-branch qualifies for s2d densification (and the reducers
     are merged), the whole inception runs as ONE s2d region: the merged
-    reducer output is space-to-depth'd once in channel-major layout
-    (ops/s2d.py ``order='ci'`` — branch channel slices stay contiguous),
-    every branch conv + BN + relu and the output concat happen in s2d
-    space, and one depth-to-space closes the region. Exact per branch (the
-    same s2d conv as _S2DConv); it removes 2 of every 3 s2d relayout
-    transposes (measured 7.1 ms/step of the 33.7 ms hourglass step was
-    s2d/layout copies, scripts/step_profile.py --depth-net hourglass).
+    reducer output is space-to-depth'd once in the BRANCH-BLOCKED
+    PHASE-MAJOR layout (ops/s2d.py ``s2d_fused_1x1_kernel(widths=...)`` —
+    branch channel slices stay contiguous, and within a block the channel
+    is phase-major, which keeps the dense-kernel expansion einsum's minor
+    dim on the cout axis: round 4's ci-major order padded the (8,128)
+    tile 32x and cost ~4 ms/step of expansion formatting), every branch
+    conv + BN + relu and the output concat happen in s2d space, and one
+    depth-to-space closes the region (``d2s_conv(widths=...)``). Exact
+    per branch (the same s2d conv as _S2DConv); hourglass step 31.9 ->
+    28.27 ms busy (scripts/step_profile.py --depth-net hourglass,
+    round 5).
     """
 
     config: Tuple[Tuple[int, ...], ...]

@@ -45,8 +45,12 @@ def space_to_depth(x: jnp.ndarray, s: int = 2,
     ``order='phase'``: channel = (a*s + b)*C + ci (phase-major).
     ``order='ci'``: channel = ci*s*s + (a*s + b) (channel-major) — a slice of
     the first ``k`` original channels stays a contiguous slice of the first
-    ``s*s*k`` s2d channels, which is what lets an inception region share ONE
-    s2d transform across branches (models/hourglass.py::Inception).
+    ``s*s*k`` s2d channels. (The fused inception regions used ci-major in
+    round 4 for exactly that slicing property; round 5 moved them to the
+    branch-blocked phase-major layout of :func:`s2d_fused_1x1_kernel`
+    ``widths=`` — contiguous branch slices AND phase-major within each
+    block, which the dense-kernel expansion needs. Both plain orders
+    remain for the standalone conv paths and tests.)
     """
     b, h, w, c = x.shape
     x = x.reshape(b, h // s, s, w // s, s, c)

@@ -138,17 +138,31 @@ class AsyncSaver:
     def _worker(self):
         while True:
             job = self._q.get()
-            path, state, epoch, best, extra, include_opt = job
             try:
-                if state is not self._cache_state:
-                    self._cache_host = jax.device_get(state)
-                    self._cache_state = state
-                save_state(path, self._cache_host, epoch=epoch, best=best,
-                           extra=extra, include_opt=include_opt)
-            except Exception as e:  # surface without killing the loop
-                print(f"Warning: async checkpoint save failed: {e}")
+                self._process(job, drop_cache=self._q.empty())
             finally:
                 self._q.task_done()
+
+    def _process(self, job, drop_cache: bool):
+        """One save; factored out of the thread loop for direct testing."""
+        path, state, epoch, best, extra, include_opt = job
+        try:
+            if state is not self._cache_state:
+                self._cache_host = jax.device_get(state)
+                self._cache_state = state
+            save_state(path, self._cache_host, epoch=epoch, best=best,
+                       extra=extra, include_opt=include_opt)
+        except Exception as e:  # surface without killing the loop
+            print(f"Warning: async checkpoint save failed: {e}")
+        finally:
+            if drop_cache:
+                # an epoch's save set arrives back-to-back, so the dedupe
+                # only needs to live while the queue is non-empty; dropping
+                # the refs frees the host copy (~1.3 GB for MiDaS) and lets
+                # the device snapshot die with train.py's per-epoch memo
+                # instead of pinning a second one across the epoch
+                self._cache_state = None
+                self._cache_host = None
 
     def save(self, path, state, epoch=0, best=float("inf"), extra=None,
              include_opt=True):

@@ -103,8 +103,8 @@ def add_general_arguments(parser: argparse.ArgumentParser):
     a("--save_every", type=int, default=1,
       help="write checkpoint.ckpt every N epochs (reference writes every "
            "epoch; on a tunneled backend each save is a full-state D2H "
-           "fetch, so cheap fast epochs can raise this). best.ckpt is "
-           "unaffected")
+           "fetch, so cheap fast epochs can raise this). The final epoch "
+           "always writes regardless of N; best.ckpt is unaffected")
     a("--vis_every_vali", default=1, type=int)
     a("--vis_every_train", default=1, type=int)
     a("--vis_batches_vali", type=int, default=10)

@@ -70,7 +70,9 @@ class Model:
         a("--sf_mag_div", type=float, default=100)
         a("--midas", action="store_true")
         a("--depth_net", type=str, default="",
-          help="override depth net ('tiny' for smoke tests)")
+          help="override depth net: '' defers to --midas, or explicitly "
+               "'midas'/'hourglass' (loss math + pretrained ckpt follow "
+               "the explicit choice) / 'tiny' for smoke tests")
         a("--log_grad_stats", action="store_true",
           help="log per-net gradient norms / max-abs each step (device "
                "scalars on the packed async fetch; the functional analog "
@@ -124,6 +126,15 @@ class Model:
             compute_dtype = "bfloat16"
         if getattr(opt, "full_precision", False):
             compute_dtype = "float32"
+        # ONE source of truth for "is the depth net MiDaS": an explicit
+        # --depth_net overrides the --midas flag, and everything keyed on
+        # MiDaS-ness (net selection in step.py, the loss's depth/disparity
+        # transform, the pretrained ckpt path) must agree — round 5's
+        # depth_net validation made the net explicit but left loss/ckpt on
+        # the raw flag, which silently mixed MiDaS output with hourglass
+        # loss math under --depth_net midas.
+        depth_net = getattr(opt, "depth_net", "") or ""
+        eff_midas = depth_net == "midas" or (depth_net == "" and opt.midas)
         self.cfg = TrainStepConfig(
             optim=getattr(opt, "optim", "adam"),
             lr=opt.lr,
@@ -133,8 +144,8 @@ class Model:
             sgd_momentum=getattr(opt, "sgd_momentum", 0.9),
             sgd_dampening=getattr(opt, "sgd_dampening", 0.0),
             wdecay=getattr(opt, "wdecay", 0.0),
-            midas=opt.midas,
-            depth_net=getattr(opt, "depth_net", ""),
+            midas=eff_midas,
+            depth_net=depth_net,
             use_cnn=opt.use_cnn,
             use_embedding=opt.use_embedding,
             time_dependent=opt.time_dependent,
@@ -149,7 +160,7 @@ class Model:
                 sf_mag_div=opt.sf_mag_div,
                 use_disp=opt.use_disp,
                 use_disp_ratio=opt.use_disp_ratio,
-                midas=opt.midas,
+                midas=eff_midas,
                 weight_steps=opt.weight_steps,
                 warm_reg=opt.warm_reg,
                 interp_steps=opt.interp_steps,
@@ -189,7 +200,10 @@ class Model:
         )
         path = MIDAS_PRETRAIN_PATH if self.cfg.midas else DEPTH_PRETRAIN_PATH
         used_pretrained = False
-        if self.cfg.depth_net == "":
+        # explicit real-net names load their pretrained artifact too; only
+        # the test-only 'tiny' net skips (cfg.midas is already the
+        # effective MiDaS-ness, explicit depth_net included)
+        if self.cfg.depth_net in ("", "midas", "hourglass"):
             if os.path.isfile(path):
                 self.load_pretrained_depth(path)
                 used_pretrained = True
@@ -319,15 +333,21 @@ class Model:
         }
 
     def vis_on_batch(self, batch: Dict,
-                     warp_window: Optional[int] = None) -> Dict:
-        """Host prediction dict for visualization (train-pair batches).
+                     warp_window: Optional[int] = None,
+                     as_numpy: bool = True) -> Dict:
+        """Prediction dict for visualization (train-pair batches).
         ``warp_window`` is the batch's per-sample exactness bound: batches
         the trainer escalated to the full-height warp visualize through the
         same exact specialization, so dumped maps match the optimized
-        losses."""
+        losses. ``as_numpy=False`` returns DEVICE arrays so an async
+        consumer (train.py's vis worker) can do the device->host fetch off
+        the step loop — the inline fetch is tens of MB through the
+        tunnel."""
         steps = self.batch_steps(batch)
         pred = self.step.forward_vis(self.state, batch, steps=steps,
                                      full_warp=self._full_warp(warp_window))
+        if not as_numpy:
+            return dict(pred)
         return {k: np.asarray(v) for k, v in pred.items()}
 
     def pack_output(self, pred: Dict, batch: Dict) -> Dict:

@@ -87,7 +87,25 @@ _SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
+    files = set()
     for item in items:
         base = item.nodeid.split("/")[-1].split("[")[0]
+        files.add(base.split("::")[0])
         if base in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            seen.add(base)
+    # A renamed/moved test silently rejoining the fast tier is how the
+    # gate slows back toward unusable; fail collection if an entry whose
+    # FILE was fully collected no longer binds to any test. Skipped when
+    # the invocation itself narrows collection (node ids / -k), where
+    # unmatched entries are expected.
+    args = getattr(config, "invocation_params", None)
+    narrowed = (any("::" in str(a) for a in (args.args if args else ()))
+                or bool(config.getoption("keyword", "")))
+    stale = sorted(e for e in _SLOW_TESTS - seen
+                   if e.split("::")[0] in files)
+    if stale and not narrowed:
+        raise pytest.UsageError(
+            f"_SLOW_TESTS entries no longer match any collected test "
+            f"(renamed/removed?): {stale}")

@@ -136,6 +136,25 @@ def test_sgd_dampening_changes_updates():
     assert not np.allclose(run(0.0), run(0.5))
 
 
+def test_explicit_depth_net_keeps_loss_and_ckpt_consistent():
+    """--depth_net midas without --midas must select MiDaS EVERYWHERE:
+    net, loss transform, and pretrained ckpt path (round-5 review: the
+    net switched but loss/ckpt stayed on the raw flag, silently mixing
+    MiDaS output with hourglass loss math)."""
+    import argparse
+
+    from dynamic_video_depth_tpu.train import scene_flow_motion_field as sfm
+    from tests.test_pretrained_load import model_opt
+
+    m = sfm.Model(model_opt(midas=False, depth_net="midas"))
+    assert type(m.step.net_depth).__name__ == "MidasNet"
+    assert m.cfg.midas and m.cfg.loss.midas
+
+    h = sfm.Model(model_opt(midas=True, depth_net="hourglass"))
+    assert type(h.step.net_depth).__name__ == "HourglassModelEmbed"
+    assert not h.cfg.midas and not h.cfg.loss.midas
+
+
 def test_depth_net_value_is_validated():
     """A depth_net typo must fail loudly, not silently fall through to the
     hourglass branch (ADVICE r4)."""
@@ -232,14 +251,15 @@ def test_driver_flags_end_to_end(workdir):
         assert "batch_time" not in csv.DictReader(f).fieldnames
 
     # --save_every 2: checkpoint.ckpt written only on even epochs (round-5
-    # flag; best.ckpt unaffected). After a 3-epoch run the periodic ckpt
-    # sidecar must record epoch 2, while best.ckpt tracked every epoch.
+    # flag; best.ckpt unaffected) — EXCEPT the final epoch, which always
+    # writes so the completed run is resumable. After a 3-epoch run the
+    # ckpt sidecar must record epoch 3 (the off-period final write).
     run_cli([sys.executable, os.path.join(REPO, "train.py"), "--epoch", "3",
              "--save_every", "2", "--save_net", "0", "--force_overwrite",
              *FLAG_ARGS, "--logdir", "./ckpt_save_every"], cwd=workdir)
     d = (workdir / "ckpt_save_every" /
          "scene_flow_motion_field_davis_sequence_track_dog" / "0")
-    assert json.load(open(d / "checkpoint.ckpt.json"))["epoch"] == 2
+    assert json.load(open(d / "checkpoint.ckpt.json"))["epoch"] == 3
     assert (d / "best.ckpt").is_file()
 
 

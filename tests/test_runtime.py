@@ -121,21 +121,31 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["epoch"] == 5 and meta["best"] == 0.25
 
 
-def test_async_saver_dedupes_same_snapshot(tmp_path):
+def test_async_saver_dedupes_same_snapshot(tmp_path, monkeypatch):
     """The per-epoch save set passes the SAME device snapshot 2-3x; the
-    worker must fetch it once and still write every file correctly, and a
-    NEW snapshot must refresh the host copy (round-5 tunnel-D2H fix)."""
-    from dynamic_video_depth_tpu.runtime.checkpoint import AsyncSaver
+    worker must fetch it once, still write every file correctly, refresh
+    on a NEW snapshot, and drop the cached copies once the queue drains
+    (round-5 tunnel-D2H fix + memory-retention fix)."""
+    from dynamic_video_depth_tpu.runtime import checkpoint as ck
 
-    saver = AsyncSaver()
+    fetches = []
+    orig = ck.jax.device_get
+    monkeypatch.setattr(
+        ck.jax, "device_get",
+        lambda x: (fetches.append(id(x)), orig(x))[1])
+
+    saver = ck.AsyncSaver.__new__(ck.AsyncSaver)  # no thread: test _process
+    saver._cache_state = None
+    saver._cache_host = None
     s1 = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(1)}
-    saver.save(str(tmp_path / "a.ckpt"), s1, epoch=1)
-    saver.save(str(tmp_path / "b.ckpt"), s1, epoch=1)
-    saver.flush()
-    assert saver._cache_state is s1  # one fetch, cached by identity
     s2 = {"params": {"w": jnp.arange(4.0) * 2}, "step": jnp.asarray(2)}
-    saver.save(str(tmp_path / "c.ckpt"), s2, epoch=2)
-    saver.flush()
+    job = lambda name, s, e: (str(tmp_path / name), s, e, float("inf"),
+                              None, True)
+    saver._process(job("a.ckpt", s1, 1), drop_cache=False)
+    saver._process(job("b.ckpt", s1, 1), drop_cache=True)  # queue empties
+    assert fetches.count(id(s1)) == 1  # second save reused the host copy
+    assert saver._cache_state is None and saver._cache_host is None
+    saver._process(job("c.ckpt", s2, 2), drop_cache=True)
     tmpl = {"params": {"w": jnp.zeros((4,))}, "step": jnp.asarray(0)}
     for name, ref in (("a", s1), ("b", s1), ("c", s2)):
         loaded, _ = load_state(str(tmp_path / f"{name}.ckpt"), tmpl)

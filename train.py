@@ -262,6 +262,7 @@ def main():
             job = _vis_q.get()
             try:
                 pred, dev_batch, outdir, key_idx, batch_idx = job
+                pred = {k: np.asarray(v) for k, v in pred.items()}
                 output = model.pack_output(pred, dev_batch)
                 visualizer.visualize(output, key_idx, outdir)
                 np.savez(join(outdir, "rank0000_batch%04d" % batch_idx),
@@ -289,8 +290,11 @@ def main():
                 return
             # windowed-warp batches the trainer escalated to the full-height
             # warp must visualize through the same exact path
+            # device refs only — the worker does the D2H (as_numpy=False;
+            # an inline fetch here stalls the step loop on the tunnel)
             pred = model.vis_on_batch(
-                dev_batch, warp_window=host_batch.get("warp_window"))
+                dev_batch, warp_window=host_batch.get("warp_window"),
+                as_numpy=False)
         else:
             # vali always counts from the START (video_base.py:90)
             idx = batch_idx
@@ -306,13 +310,31 @@ def main():
         # video_base.py:98-100)
         _vis_q.put((pred, dev_batch, outdir, idx + 1000 * epoch, batch_idx))
 
-    def _drain_vis():
-        _vis_q.join()
+    def _drain_vis(deadline_s: float = 300.0):
+        """Bounded drain (same rationale as AsyncSaver._drain_at_exit): a
+        vis job hung on a dead tunnel or broken storage must not wedge the
+        run after training completed — warn and move on."""
+        import time as _t
+
+        t0 = _t.time()
+        while _vis_q.unfinished_tasks and _t.time() - t0 < deadline_s:
+            _t.sleep(0.1)
+        if _vis_q.unfinished_tasks:
+            print(f"Warning: {_vis_q.unfinished_tasks} visualization "
+                  f"job(s) still pending after {deadline_s:.0f}s; "
+                  "continuing (some epoch PNGs/npz may be missing)")
 
     # ------------------------------------------------------------------ train
     trainer = Trainer(model, dataset_train, dataset_vali, logger, opt,
                       visualize_fn=visualize_fn)
     trainer.train(start_epoch=start_epoch)
+    save_every = max(getattr(opt, "save_every", 1), 1)
+    if save_every > 1 and opt.epoch % save_every != 0:
+        # the periodic logger gates on epoch % N == 0, so a final epoch off
+        # the period would leave checkpoint.ckpt stale — always end the run
+        # with the final state resumable
+        save_fn(join(opt.full_logdir, "checkpoint.ckpt"), epoch=opt.epoch,
+                best=best_holder["best"])
     _drain_vis()  # all queued fetches rendered before the PNG pool closes
     visualizer.close()
     saver.flush()
